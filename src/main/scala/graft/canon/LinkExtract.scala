@@ -1,0 +1,142 @@
+package graft.canon
+
+/** One extracted link (reference: responses/src/link.rs:7-13 — equality is by
+  * uri only, which drives the dedup semantics downstream). */
+final case class ExtractedLink(
+    uri: String,            // trimmed attribute value (dom_parser/src/lib.rs:54)
+    scope: Option[String],  // computed on the UNTRIMMED value (lib.rs:55)
+    protocol: Option[String],
+    sourceTag: String)
+
+/** Tolerant HTML link extraction, behaviorally matching the reference's
+  * DomParserService (reference: dom_parser/src/lib.rs:19-61):
+  *   - elements visited in document order;
+  *   - per element, the FIRST attribute (in attribute order) named
+  *     href / src / data-src yields at most one link (lib.rs:46-52);
+  *   - uri = trimmed value, scope/protocol computed on the raw value;
+  *   - result sorted by uri, byte-lexicographically (lib.rs:25).
+  *
+  * Hand-rolled scanner (offline sbt: no jsoup); handles comments, doctype,
+  * CDATA, raw-text elements (script/style) and RCDATA (title/textarea),
+  * quoted/unquoted attributes, duplicate attributes (first occurrence wins,
+  * as in html5ever).
+  */
+object LinkExtract {
+  private val linkAttrs = Set("href", "src", "data-src")
+  private val rawText = Set("script", "style", "title", "textarea", "xmp")
+
+  def extractLinks(parentProtocol: String, host: String, body: String): Seq[ExtractedLink] = {
+    val checker = LinkTypeChecker.forHost(host)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ExtractedLink]
+    val n = body.length
+    var i = 0
+    while (i < n) {
+      val lt = body.indexOf('<', i)
+      if (lt < 0) { i = n }
+      else if (lt + 1 >= n) { i = n }
+      else {
+        val c = body.charAt(lt + 1)
+        if (c == '!') {
+          if (body.startsWith("<!--", lt)) {
+            val end = body.indexOf("-->", lt + 4)
+            i = if (end < 0) n else end + 3
+          } else if (body.startsWith("<![CDATA[", lt)) {
+            val end = body.indexOf("]]>", lt + 9)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = body.indexOf('>', lt + 1)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c == '?') {
+          val end = body.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (c == '/') {
+          val end = body.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (c.isLetter) {
+          // element open tag
+          var j = lt + 1
+          while (j < n && (body.charAt(j).isLetterOrDigit || body.charAt(j) == '-' || body.charAt(j) == ':')) j += 1
+          val tag = body.substring(lt + 1, j).toLowerCase
+          // parse attributes until '>' (respecting quotes)
+          var firstLink: Option[String] = null.asInstanceOf[Option[String]]
+          firstLink = None
+          val seenAttrs = scala.collection.mutable.HashSet.empty[String]
+          var done = false
+          while (!done && j < n) {
+            // skip whitespace and '/'
+            while (j < n && (body.charAt(j).isWhitespace || body.charAt(j) == '/')) j += 1
+            if (j >= n || body.charAt(j) == '>') { done = true }
+            else {
+              // attribute name
+              val nameStart = j
+              while (j < n && !body.charAt(j).isWhitespace && body.charAt(j) != '=' &&
+                     body.charAt(j) != '>' && body.charAt(j) != '/') j += 1
+              val name = body.substring(nameStart, j).toLowerCase
+              while (j < n && body.charAt(j).isWhitespace) j += 1
+              var value = ""
+              if (j < n && body.charAt(j) == '=') {
+                j += 1
+                while (j < n && body.charAt(j).isWhitespace) j += 1
+                if (j < n && (body.charAt(j) == '"' || body.charAt(j) == '\'')) {
+                  val q = body.charAt(j)
+                  val end = body.indexOf(q, j + 1)
+                  if (end < 0) { value = body.substring(j + 1); j = n }
+                  else { value = body.substring(j + 1, end); j = end + 1 }
+                } else {
+                  val valStart = j
+                  while (j < n && !body.charAt(j).isWhitespace && body.charAt(j) != '>') j += 1
+                  value = body.substring(valStart, j)
+                }
+              }
+              if (name.nonEmpty && seenAttrs.add(name)) {
+                if (firstLink.isEmpty && linkAttrs.contains(name)) firstLink = Some(value)
+              }
+            }
+          }
+          i = if (j < n) j + 1 else n
+          firstLink.foreach { raw =>
+            out += ExtractedLink(
+              uri = raw.trim,
+              scope = checker.getUriScope(raw),
+              protocol = checker.getUriProtocol(parentProtocol, raw),
+              sourceTag = tag)
+          }
+          // skip raw-text / RCDATA content up to the matching close tag
+          if (rawText.contains(tag)) {
+            val close = body.toLowerCase.indexOf("</" + tag, i)
+            if (close < 0) i = n
+            else {
+              val end = body.indexOf('>', close)
+              i = if (end < 0) n else end + 1
+            }
+          }
+        } else {
+          i = lt + 1
+        }
+      }
+    }
+    // byte-lexicographic (= code point) sort, matching Rust String cmp
+    out.sortWith((a, b) => compareUtf8(a.uri, b.uri) < 0).toSeq
+  }
+
+  /** Compare as UTF-8 byte sequences (Rust String Ord). Differs from Java
+    * String compare only for supplementary-plane chars. */
+  def compareUtf8(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Adjacent-dedup by uri after the sort — full per-page dedup
+    * (reference: page_loader_service.rs:143-144 on the pre-sorted list). */
+  def dedupByUri(links: Seq[ExtractedLink]): Seq[ExtractedLink] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ExtractedLink]
+    links.foreach { l => if (out.isEmpty || out.last.uri != l.uri) out += l }
+    out.toSeq
+  }
+}

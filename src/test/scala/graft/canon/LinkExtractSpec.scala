@@ -1,0 +1,80 @@
+package graft.canon
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Link-extraction semantics pinned by the reference
+  * (reference: dom_parser/src/lib.rs:19-61 and the golden-count style of
+  * dom_parser/tests/dom_parser_it.rs:7-18). */
+class LinkExtractSpec extends AnyFunSuite {
+
+  private def uris(html: String): Seq[String] =
+    LinkExtract.extractLinks("https", "example.com", html).map(_.uri)
+
+  test("first attribute among href/src/data-src wins, in attribute order") {
+    // src comes first in the element → src wins
+    assert(uris("""<img src="/a.png" data-src="/b.png">""") == Seq("/a.png"))
+    // data-src first → data-src wins
+    assert(uris("""<img data-src="/b.png" src="/a.png">""") == Seq("/b.png"))
+    // non-link attrs are skipped
+    assert(uris("""<a class="x" id="y" href="/z">t</a>""") == Seq("/z"))
+  }
+
+  test("one link per element, elements in document order, then sorted by uri") {
+    val html = """<a href="/z"></a><a href="/a"></a><img src="/m">"""
+    assert(uris(html) == Seq("/a", "/m", "/z"))
+  }
+
+  test("uri is trimmed but scope/protocol computed on raw value") {
+    val links = LinkExtract.extractLinks("https", "example.com", """<a href=" /foo ">x</a>""")
+    assert(links.head.uri == "/foo")
+    // raw " /foo " does not match the SameDomain regex the same way "/foo" does:
+    // "^(?![a-zA-Z]+://)(?:/?(?:[^#].+))$" still matches " /foo " (starts with space)
+    assert(links.head.scope == Some(UriScope.SameDomain))
+  }
+
+  test("script/style contents are raw text; comments and doctype skipped") {
+    val html =
+      """<!DOCTYPE html><!-- <a href="/not-this"> -->
+        |<script>var s = '<a href="/nor-this">';</script>
+        |<style>a { background: url('x') } /* <img src="/skip"> */</style>
+        |<a href="/yes">ok</a>""".stripMargin
+    assert(uris(html) == Seq("/yes"))
+  }
+
+  test("unquoted and single-quoted attribute values") {
+    assert(uris("<a href=/u1>x</a><a href='/u2'>y</a>") == Seq("/u1", "/u2"))
+  }
+
+  test("duplicate attribute names: first occurrence wins (html5ever)") {
+    assert(uris("""<a href="/first" href="/second">x</a>""") == Seq("/first"))
+  }
+
+  test("golden count fixture: exact href + src + data-src counts, sorted") {
+    // 12 href + 5 src + 3 data-src = 20 links, with 2 duplicate uris
+    val hrefs = (1 to 12).map(i => f"""<a href="/p$i%02d">l</a>""").mkString
+    val srcs = (1 to 5).map(i => f"""<img src="/img$i%02d.png">""").mkString
+    val dsrcs = (1 to 3).map(i => f"""<img data-src="/lazy$i%02d.png">""").mkString
+    val dups = """<a href="/p01">dup</a><img src="/img01.png">"""
+    val html = s"<html><body>$hrefs$srcs$dsrcs$dups</body></html>"
+    val links = LinkExtract.extractLinks("https", "example.com", html)
+    assert(links.size == 22)
+    // sorted by uri
+    assert(links.map(_.uri) == links.map(_.uri).sortWith((a, b) => LinkExtract.compareUtf8(a, b) < 0))
+    // adjacent dedup (the service-side pass) removes the 2 duplicates
+    assert(LinkExtract.dedupByUri(links).size == 20)
+  }
+
+  test("scope and protocol attached per link") {
+    val html =
+      """<a href="https://example.com/team">t</a>
+        |<a href="mailto:x@example.com">m</a>
+        |<a href="//cdn.other.com/f.js">c</a>
+        |<a href="#anchor">a</a>""".stripMargin
+    val links = LinkExtract.extractLinks("https", "example.com", html)
+    val byUri = links.map(l => l.uri -> (l.scope, l.protocol)).toMap
+    assert(byUri("https://example.com/team") == (Some(UriScope.SameDomain), Some(UriProtocol.HTTPS)))
+    assert(byUri("mailto:x@example.com") == (Some(UriScope.Mailto), None))
+    assert(byUri("//cdn.other.com/f.js") == (Some(UriScope.External), Some(UriProtocol.IMPLICIT)))
+    assert(byUri("#anchor") == (Some(UriScope.Anchor), Some(UriProtocol.HTTPS)))
+  }
+}
