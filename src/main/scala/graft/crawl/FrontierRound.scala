@@ -1,0 +1,312 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.canon.{UrlCanon, LinkExtract, UriScope}
+import graft.model._
+import graft.robots.Robots
+
+/** A canonicalized child link produced by one parent page. */
+final case class ChildLink(url: String, raw_url: String, rank: Int)
+
+/** Link-extraction output for one fetched page. */
+final case class PageLinks(n_links: Int, children: Seq[ChildLink])
+
+/** One crawl round as pure DataFrame transformations (SURVEY.md §3.4).
+  *
+  * Spark-first layout: everything is a declarative plan — Catalyst pushes the
+  * cheap gates below the joins, prunes the fat `html` column until the single
+  * projection that parses it, and AQE handles skewed shuffles. UDFs appear
+  * exactly where the north rule allows them: URL canonicalization and HTML
+  * link extraction.
+  */
+object FrontierRound {
+
+  // ---------- UDFs (pure; never marked nondeterministic) ----------
+
+  val hostOfUdf = udf((u: String) => UrlCanon.hostOf(u).getOrElse(""))
+  val protocolOfUdf = udf((u: String) => UrlCanon.protocolOf(u).getOrElse("https"))
+
+  val canonUdf = udf((proto: String, uri: String, host: String, parent: String) =>
+    UrlCanon.formFullUrl(proto, uri, host, Option(parent)))
+
+  val canAccessUdf = udf((disallowAll: Boolean, allowAll: Boolean, body: String, agent: String, url: String) =>
+    Robots.canAccess(disallowAll, allowAll, Option(body).getOrElse(""), agent, url))
+
+  val prioChildUdf = udf((parent: Array[Byte], rank: Int) => Priority.child(parent, rank))
+
+  /** The whole per-page child pipeline in one pass over the html, so the fat
+    * body bytes never cross a shuffle (SURVEY.md §7.4):
+    * extract (document order, first href/src/data-src per element) → sort by
+    * raw uri → adjacent dedup → retain scoped → whitelist
+    * Root/SameDomain/DifferentSubDomain → form_full_url → rank.
+    * n_links counts ALL sorted links pre-dedup (the reference keeps the full
+    * list on the response, page_loader_service.rs:140-144).
+    */
+  val extractChildrenUdf = udf((protocol: String, host: String, html: Array[Byte], parentUrl: String) => {
+    if (html == null) PageLinks(-1, Seq.empty)
+    else {
+      val body = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+      val links = LinkExtract.extractLinks(protocol, host, body)
+      val deduped = LinkExtract.dedupByUri(links)
+      val children = deduped.iterator
+        .filter(l => l.scope.exists(UriScope.enqueueable.contains))
+        .zipWithIndex
+        .map { case (l, i) =>
+          ChildLink(UrlCanon.formFullUrl(protocol, l.uri, host, Some(parentUrl)), l.uri, i)
+        }
+        .toSeq
+      PageLinks(links.size, children)
+    }
+  })
+
+  // ---------- static per-job preparation ----------
+
+  /** Per-host robots decision cache (reference derives it per task from one
+    * robots.txt fetch, robots_service.rs:55-110). Small → broadcast. */
+  def buildRobotsCache(robots: DataFrame): DataFrame = {
+    val mk = udf((status: Int, body: String) => Robots.fromStatus(status, Option(body).getOrElse("")))
+    robots.select(col("host"), mk(col("status"), col("body")).as("r"))
+      .select(col("host"), col("r.disallowAll").as("disallow_all"),
+        col("r.allowAll").as("allow_all"), col("r.body").as("robots_body"))
+  }
+
+  /** Transitive closure of the redirects fixture, bounded by maxRedirects —
+    * computed ONCE per job (redirect chains are static), so each round pays a
+    * single join instead of maxRedirects+1 iterative ones
+    * (reference follows redirects recursively per request,
+    * fetch_header_command.rs:31-69; location headers are canonicalized
+    * against the CURRENT hop's scheme/host, :73-90).
+    *
+    * Output: (start_url, final_url, n_redirects, terminal_is_redirect,
+    * terminal_status). final_url = last followed destination (= the
+    * reference's get_final_uri, head_response.rs:30-36).
+    */
+  def resolveRedirects(spark: SparkSession, redirects: DataFrame, cfg: CrawlConfig): DataFrame = {
+    import spark.implicits._
+    val r = redirects.select(
+      col("src_url"), col("location"), col("status").cast("int"))
+      .withColumn("dest", canonUdf(protocolOfUdf(col("src_url")), col("location"),
+        hostOfUdf(col("src_url")), col("src_url")))
+      .cache()
+
+    if (cfg.ignoreRedirects || cfg.maxRedirects == 0) {
+      // HEAD answers 3xx but the chain is never followed (run_config
+      // ignore_redirects, fetch_header_command.rs:49)
+      return r.select(col("src_url").as("start_url"), col("src_url").as("final_url"),
+        lit(0).as("n_redirects"), lit(true).as("terminal_is_redirect"),
+        col("status").as("terminal_status"))
+    }
+
+    var resolved = r.select(
+      col("src_url").as("start_url"), col("dest").as("cur_url"),
+      lit(1).as("n_redirects"), col("status").as("last_status"))
+    var done: DataFrame = null
+    var hops = 1
+    // follow while n_redirects < maxRedirects allows another hop
+    while (hops < cfg.maxRedirects) {
+      val joined = resolved.join(r.select(col("src_url").as("j_src"), col("dest").as("j_dest"),
+        col("status").as("j_status")), resolved("cur_url") === col("j_src"), "left")
+      val terminal = joined.filter(col("j_src").isNull)
+        .select(col("start_url"), col("cur_url"), col("n_redirects"), col("last_status"))
+      val continuing = joined.filter(col("j_src").isNotNull)
+        .select(col("start_url"), col("j_dest").as("cur_url"),
+          (col("n_redirects") + 1).as("n_redirects"), col("j_status").as("last_status"))
+      done = if (done == null) terminal else done.union(terminal)
+      resolved = continuing
+      hops += 1
+    }
+    // whatever is still redirecting at the budget: terminal 3xx head on cur
+    val exhausted = resolved.join(r.select(col("src_url").as("j_src"), col("status").as("j_status")),
+      resolved("cur_url") === col("j_src"), "left")
+    val exhaustedRedirect = exhausted.filter(col("j_src").isNotNull)
+      .select(col("start_url"), col("cur_url").as("final_url"), col("n_redirects"),
+        lit(true).as("terminal_is_redirect"), col("j_status").as("terminal_status"))
+    val exhaustedClean = exhausted.filter(col("j_src").isNull)
+      .select(col("start_url"), col("cur_url").as("final_url"), col("n_redirects"),
+        lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"))
+    val tail = exhaustedRedirect.union(exhaustedClean)
+    if (done == null) tail
+    else done.select(col("start_url"), col("cur_url").as("final_url"),
+      col("n_redirects"), lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"))
+      .union(tail)
+  }
+
+  // ---------- the round ----------
+
+  final case class RoundOutput(
+      results: DataFrame,     // ResultRow schema
+      newSeen: DataFrame,     // (url)
+      newFrontier: DataFrame) // FrontierEntry schema (frontier for next round)
+
+  private val prioOrder: Seq[Column] = Seq(col("depth"), col("priority"), col("url"))
+
+  /** Politeness scheduler: exact per-host top-k by canonical priority, as a
+    * two-phase salted window so one mega-host cannot serialize a partition
+    * (north_rule: "salted-key skew handling for mega-hosts"). Phase 1 ranks
+    * within (host, salt) — max saltBuckets*k survivors per host — phase 2
+    * ranks the survivors per host. Returns (scheduled, deferred). */
+  def schedule(frontier: DataFrame, cfg: CrawlConfig): (DataFrame, DataFrame) = {
+    val k = cfg.hostQuotaPerRound
+    val salted = frontier.withColumn("salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
+    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(prioOrder: _*)
+    val p1 = salted.withColumn("rn1", row_number().over(w1))
+    val p1keep = p1.filter(col("rn1") <= k).drop("rn1")
+    val p1rest = p1.filter(col("rn1") > k).drop("rn1", "salt")
+    val w2 = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
+    val p2 = p1keep.withColumn("rn2", row_number().over(w2))
+    val scheduled = p2.filter(col("rn2") <= k).drop("rn2", "salt")
+    val p2rest = p2.filter(col("rn2") > k).drop("rn2", "salt")
+    (scheduled, p1rest.unionByName(p2rest))
+  }
+
+  /** Run one round. `pages` must expose (url, html, text); `seen` is (url)
+    * (bucket column optional); `robotsCache` from [[buildRobotsCache]];
+    * `resolvedRedirects` from [[resolveRedirects]]. */
+  def run(
+      spark: SparkSession,
+      round: Int,
+      frontier: DataFrame,
+      seen: DataFrame,
+      pages: DataFrame,
+      robotsCache: DataFrame,
+      resolvedRedirects: DataFrame,
+      cfg: CrawlConfig): RoundOutput = {
+
+    // 1. politeness top-k per host
+    val (scheduled0, deferred) = schedule(frontier, cfg)
+
+    // 2. dequeue-time AlreadyKnown gate — SILENT skip, no result row
+    //    (page_crawl_command.rs:82-85 returns Ok(None); urls can become seen
+    //    while queued, e.g. as someone else's redirect target)
+    val scheduled = scheduled0.join(seen.select("url"), Seq("url"), "left_anti")
+
+    // 3. depth gate → status rows (page_crawl_command.rs:73-77; 0 = unlimited)
+    val depthGate = lit(cfg.maxDepth) > 0 && col("depth") >= cfg.maxDepth
+    val depthRejected = scheduled.filter(depthGate)
+    val underDepth = scheduled.filter(!depthGate)
+
+    // 4. robots gate → status rows (page_crawl_command.rs:92-95;
+    //    decision robots_service.rs:46-52; missing cache row = default allow)
+    val withRobots = underDepth.join(broadcast(robotsCache), Seq("host"), "left")
+    val allowed =
+      if (!cfg.respectRobots) lit(true)
+      else canAccessUdf(
+        coalesce(col("disallow_all"), lit(false)),
+        coalesce(col("allow_all"), lit(false)),
+        coalesce(col("robots_body"), lit("")),
+        lit(cfg.userAgent), col("url"))
+    val robotsRejected = withRobots.filter(!allowed).drop("disallow_all", "allow_all", "robots_body")
+    val crawlable = withRobots.filter(allowed).drop("disallow_all", "allow_all", "robots_body")
+
+    // 5. redirect resolution (one static-closure join) + page lookup.
+    //    A url in the redirects fixture answers 3xx; otherwise a url in
+    //    pages answers 200 text/html (octet-stream when html is null);
+    //    otherwise the HEAD fails → ConnectionError
+    //    (page_crawl_command.rs:116-135).
+    val withRedirects = crawlable
+      .join(resolvedRedirects, crawlable("url") === resolvedRedirects("start_url"), "left")
+      .withColumn("target", coalesce(col("final_url"), col("url")))
+      .drop("start_url", "final_url")
+    val pagesMeta = pages.select(col("url").as("pg_url"),
+      col("html").isNotNull.as("pg_has_html"), col("text").as("pg_text"))
+    val headed = withRedirects
+      .join(pagesMeta, col("target") === col("pg_url"), "left")
+      .withColumn("n_redirects", coalesce(col("n_redirects"), lit(0)))
+      .withColumn("is_redirect_terminal", coalesce(col("terminal_is_redirect"), lit(false)))
+
+    val connError = col("is_redirect_terminal") === false && col("pg_url").isNull
+    val headOk = !connError
+
+    // 6. download + link extraction for html 200s only
+    //    (should_download: success && text/html, page_crawl_command.rs:157-166)
+    val fetchedCols = headed.filter(headOk)
+      .withColumn("http_code", when(col("is_redirect_terminal"), col("terminal_status")).otherwise(lit(200)))
+      .withColumn("content_type",
+        when(col("is_redirect_terminal"), lit(null).cast("string"))
+          .otherwise(when(col("pg_has_html"), lit("text/html")).otherwise(lit("application/octet-stream"))))
+      .withColumn("should_download",
+        col("is_redirect_terminal") === false && col("content_type") === "text/html")
+
+    // re-join the fat html column only for rows that will parse it — the
+    // pages scan for everyone else never reads html (column pruning)
+    val pagesBody = pages.select(col("url").as("pb_url"), col("html").as("pb_html"))
+    val fetched = fetchedCols
+      .join(pagesBody, col("should_download") && col("target") === col("pb_url"), "left")
+      .withColumn("pl",
+        when(col("should_download"),
+          extractChildrenUdf(col("protocol"), col("host"), col("pb_html"), col("url")))
+          .otherwise(lit(null)))
+      .drop("pb_url", "pb_html")
+
+    // ---------- results ----------
+    val statusResults = depthRejected
+      .withColumn("crawl_status", lit(CrawlStatus.MaximumCrawlDepthReached))
+      .unionByName(robotsRejected.withColumn("crawl_status", lit(CrawlStatus.RestrictedByRobotsTxt)))
+      .select(lit(round).as("round"), col("url"), col("raw_url"),
+        lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
+        lit(null).cast("string").as("content_type"), col("crawl_status"),
+        col("depth"), col("priority"), lit(0).as("n_redirects"),
+        lit(-1).as("n_links"), lit(null).cast("string").as("text"))
+
+    val connResults = headed.filter(connError)
+      .select(lit(round).as("round"), col("url"), col("raw_url"),
+        lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
+        lit(null).cast("string").as("content_type"),
+        lit(CrawlStatus.ConnectionError).as("crawl_status"),
+        col("depth"), col("priority"), lit(0).as("n_redirects"),
+        lit(-1).as("n_links"), lit(null).cast("string").as("text"))
+
+    val fetchResults = fetched
+      .select(lit(round).as("round"), col("url"), col("raw_url"),
+        col("target").as("final_url"), col("http_code"), col("content_type"),
+        lit(CrawlStatus.Fetched).as("crawl_status"),
+        col("depth"), col("priority"), col("n_redirects"),
+        coalesce(col("pl.n_links"), lit(-1)).as("n_links"),
+        when(col("should_download"), col("pg_text")).otherwise(lit(null).cast("string")).as("text"))
+
+    val results = statusResults.unionByName(connResults).unionByName(fetchResults)
+
+    // ---------- seen update ----------
+    // every emitted result's requested url + every successful fetch's final
+    // url enter the seen set (page_loader_service.rs:192-201 — status rows
+    // included, because consume_crawl_result runs for them too)
+    val newSeen = results.select(col("url"))
+      .union(results.filter(col("final_url").isNotNull).select(col("final_url").as("url")))
+      .distinct()
+      .join(seen.select("url"), Seq("url"), "left_anti")
+
+    // ---------- children → next frontier ----------
+    // enqueue gate: parent depth <= maxDepth (page_loader_service.rs:142 —
+    // note this makes maxDepth=0 enqueue only the seeds' children)
+    val kids = fetched
+      .filter(col("pl").isNotNull && col("depth") <= cfg.maxDepth)
+      .select(col("depth"), col("priority"), explode(col("pl.children")).as("c"))
+      .select(col("c.url").as("url"), col("c.raw_url").as("raw_url"),
+        (col("depth") + 1).as("depth"),
+        prioChildUdf(col("priority"), col("c.rank")).as("priority"))
+      .withColumn("host", hostOfUdf(col("url")))
+      .withColumn("protocol", protocolOfUdf(col("url")))
+
+    // within-round dedup by canonical url, keeping best priority (the
+    // reference enqueues both and silently drops the later at dequeue —
+    // same output, page_crawl_command.rs:87-90)
+    val kidsDeduped = kids
+      .withColumn("rn", row_number().over(Window.partitionBy(col("url")).orderBy(col("depth"), col("priority"))))
+      .filter(col("rn") === 1).drop("rn")
+
+    // enqueue-time anti-join vs seen' ∪ still-queued frontier
+    // (page_loader_service.rs:157)
+    val seenPrime = seen.select("url").union(newSeen.select("url"))
+    val newEntries = kidsDeduped
+      .join(seenPrime, Seq("url"), "left_anti")
+      .join(deferred.select("url"), Seq("url"), "left_anti")
+      .select("url", "raw_url", "host", "protocol", "depth", "priority")
+
+    val newFrontier = deferred.select("url", "raw_url", "host", "protocol", "depth", "priority")
+      .unionByName(newEntries)
+
+    RoundOutput(results, newSeen, newFrontier)
+  }
+}

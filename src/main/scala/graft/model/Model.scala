@@ -1,0 +1,117 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** The web-as-a-table input (BASELINE.json input_hint; substitutes the
+  * reference's live HTTP, page_loader/src/http/http_client.rs:88-94). */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Synthesized redirect fixture: HEAD on src_url answers (status, location)
+  * (reference: fetch_header_command.rs:31-69). */
+final case class RedirectRow(src_url: String, location: String, status: Int)
+
+/** Synthesized robots fixture: GET host/robots.txt answered (status, body)
+  * (reference: robots_service.rs:55-110). */
+final case class RobotsRow(host: String, status: Int, body: String)
+
+/** Per-crawl configuration with the reference defaults
+  * (reference: task_context.rs:196-208, run_config.rs:18-34). */
+final case class CrawlConfig(
+    maxDepth: Int = 16,          // 0 = unlimited crawl, but see childGate
+    maxRedirects: Int = 10,
+    ignoreRedirects: Boolean = false,
+    respectRobots: Boolean = true, // reference stores ignore_robots_txt but
+                                   // never initializes robots in the crawl
+                                   // path; we honor the spec'd semantics
+    userAgent: String = "tarantula",
+    crawlDelayMs: Int = 500,
+    /** Per-host fetches allowed per round: the politeness budget
+      * k = roundBudgetMs / crawlDelayMs (reference enforces >= crawlDelayMs
+      * between per-task requests, http_client.rs:79-83). */
+    hostQuotaPerRound: Int = 4,
+    /** Salt fan-out for the two-phase per-host top-k (mega-host skew). */
+    saltBuckets: Int = 16,
+    /** Hash-bucket count for the partitioned seen table. */
+    seenBuckets: Int = 64,
+    maxRounds: Int = 1000)
+
+/** One frontier entry. `priority` is a binary lineage path: 4 big-endian
+  * bytes of link-rank per depth level. Ordering by (depth, priority, url) is
+  * the engine's canonical crawl order — (depth asc, parent discovery order,
+  * per-parent sorted-raw-uri order), the deterministic projection of the
+  * reference's FIFO/BFS behavior (SURVEY.md §7.4). Byte-array priorities
+  * compare distributively — no global row_number window in the hot path.
+  */
+final case class FrontierEntry(
+    url: String,
+    raw_url: String,
+    host: String,
+    protocol: String,
+    depth: Int,
+    priority: Array[Byte])
+
+/** One results-table row (reference PageResponse, responses/src/page_response.rs:10-21,
+  * flattened for columnar storage; timings are per-round metrics instead of
+  * per-row wall clocks for determinism). */
+final case class ResultRow(
+    round: Int,
+    url: String,
+    raw_url: String,
+    final_url: String,          // null unless fetch succeeded
+    http_code: Int,             // -1 when no HTTP exchange happened
+    content_type: String,
+    crawl_status: String,       // "Fetched" | "ConnectionError" |
+                                // "RestrictedByRobotsTxt" | "MaximumCrawlDepthReached"
+    depth: Int,
+    priority: Array[Byte],
+    n_redirects: Int,
+    n_links: Int,               // -1 when no body was parsed
+    text: String)               // byte-identical per url (north_rule invariant)
+
+object CrawlStatus {
+  val Fetched = "Fetched"
+  val ConnectionError = "ConnectionError"
+  val RestrictedByRobotsTxt = "RestrictedByRobotsTxt"
+  val MaximumCrawlDepthReached = "MaximumCrawlDepthReached"
+}
+
+/** Per-round metrics row (north_rule: per-partition lineage + metrics). */
+final case class RoundMetrics(
+    round: Int,
+    scheduled: Long,
+    fetched: Long,
+    statusRows: Long,
+    newLinks: Long,
+    newFrontier: Long,
+    seenTotal: Long,
+    distinctHosts: Long)
+
+object Priority {
+  /** Append a 4-byte big-endian rank level to a lineage path. */
+  def child(parent: Array[Byte], rank: Int): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(parent, parent.length + 4)
+    out(parent.length) = (rank >>> 24).toByte
+    out(parent.length + 1) = (rank >>> 16).toByte
+    out(parent.length + 2) = (rank >>> 8).toByte
+    out(parent.length + 3) = rank.toByte
+    out
+  }
+  def root(rank: Int): Array[Byte] = child(Array.emptyByteArray, rank)
+
+  /** Unsigned lexicographic compare (matches Spark BinaryType ordering). */
+  def compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+}

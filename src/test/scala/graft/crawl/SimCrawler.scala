@@ -1,0 +1,148 @@
+package graft.crawl
+
+import graft.canon.{UrlCanon, LinkExtract, UriScope}
+import graft.model._
+import graft.robots.Robots
+
+/** Sequential reference oracle for the batch-iterative crawl: implements the
+  * SAME canonical round semantics as the Spark engine (SURVEY.md §3.4) with
+  * plain Scala collections and a DYNAMIC per-request redirect walk (the Spark
+  * side uses a static transitive closure — differential coverage of that
+  * optimization). Shares only the pure corpus-pinned functions (UrlCanon,
+  * LinkExtract, Robots); all orchestration is independent.
+  */
+object SimCrawler {
+
+  final case class SimEntry(url: String, rawUrl: String, host: String,
+      protocol: String, depth: Int, priority: Vector[Int])
+
+  final case class SimResult(round: Int, url: String, rawUrl: String,
+      finalUrl: Option[String], httpCode: Int, contentType: Option[String],
+      status: String, depth: Int, priority: Vector[Int], nRedirects: Int,
+      nLinks: Int, text: Option[String])
+
+  final case class SimOutput(results: Seq[SimResult], seen: Set[String], rounds: Int)
+
+  private implicit val vecOrd: Ordering[Vector[Int]] = new Ordering[Vector[Int]] {
+    def compare(a: Vector[Int], b: Vector[Int]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var c = 0
+      while (i < n && c == 0) { c = Integer.compare(a(i), b(i)); i += 1 }
+      if (c != 0) c else Integer.compare(a.length, b.length)
+    }
+  }
+  private val prioOrd: Ordering[SimEntry] =
+    Ordering.by((e: SimEntry) => (e.depth, e.priority, e.url))
+
+  def run(pages: Seq[Page], robotsRows: Seq[RobotsRow], redirectRows: Seq[RedirectRow],
+      seeds: Seq[String], cfg: CrawlConfig): SimOutput = {
+
+    val pageMap = pages.map(p => p.url -> p).toMap
+    val redirectMap = redirectRows.map(r => r.src_url -> r).toMap
+    val robotsMap = robotsRows.map(r => r.host -> Robots.fromStatus(r.status, r.body)).toMap
+
+    var frontier: Vector[SimEntry] = seeds.sorted.zipWithIndex.map { case (u, i) =>
+      SimEntry(u, u, UrlCanon.hostOf(u).getOrElse(""),
+        UrlCanon.protocolOf(u).getOrElse("https"), 0, Vector(i))
+    }.toVector
+    var seen = Set.empty[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[SimResult]
+    var round = 0
+
+    while (frontier.nonEmpty && round < cfg.maxRounds) {
+      // politeness: exact per-host top-k by canonical priority
+      val byHost = frontier.groupBy(_.host)
+      val scheduled = byHost.values.flatMap(_.sorted(prioOrd).take(cfg.hostQuotaPerRound)).toVector.sorted(prioOrd)
+      val scheduledUrls = scheduled.map(_.url).toSet
+      val deferred = frontier.filterNot(e => scheduledUrls.contains(e.url))
+
+      val newSeen = scala.collection.mutable.LinkedHashSet.empty[String]
+      val childCandidates = scala.collection.mutable.ArrayBuffer.empty[SimEntry]
+
+      scheduled.foreach { e =>
+        if (!seen.contains(e.url)) { // round-start snapshot, silent skip
+          if (cfg.maxDepth > 0 && e.depth >= cfg.maxDepth) {
+            results += SimResult(round, e.url, e.rawUrl, None, -1, None,
+              CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, -1, None)
+            newSeen += e.url
+          } else {
+            val rob = robotsMap.get(e.host)
+            val allowed = !cfg.respectRobots || rob.forall(r =>
+              Robots.canAccess(r.disallowAll, r.allowAll, r.body, cfg.userAgent, e.url))
+            if (!allowed) {
+              results += SimResult(round, e.url, e.rawUrl, None, -1, None,
+                CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, -1, None)
+              newSeen += e.url
+            } else {
+              // dynamic redirect walk (fetch_header_command.rs:31-69)
+              var cur = e.url
+              var n = 0
+              var terminal3xx: Option[Int] = None
+              var walking = true
+              while (walking) {
+                redirectMap.get(cur) match {
+                  case Some(r) if !cfg.ignoreRedirects && n < cfg.maxRedirects =>
+                    val dest = UrlCanon.formFullUrl(
+                      UrlCanon.protocolOf(cur).getOrElse("https"), r.location,
+                      UrlCanon.hostOf(cur).getOrElse(""), Some(cur))
+                    cur = dest; n += 1
+                  case Some(r) =>
+                    terminal3xx = Some(r.status); walking = false
+                  case None => walking = false
+                }
+              }
+              val page = if (terminal3xx.isEmpty) pageMap.get(cur) else None
+              if (terminal3xx.isEmpty && page.isEmpty) {
+                results += SimResult(round, e.url, e.rawUrl, None, -1, None,
+                  CrawlStatus.ConnectionError, e.depth, e.priority, 0, -1, None)
+                newSeen += e.url
+              } else {
+                val code = terminal3xx.getOrElse(200)
+                val contentType = terminal3xx match {
+                  case Some(_) => None
+                  case None => Some(if (page.get.html != null) "text/html" else "application/octet-stream")
+                }
+                val shouldDownload = terminal3xx.isEmpty && contentType.contains("text/html")
+                var nLinks = -1
+                if (shouldDownload) {
+                  val body = new String(page.get.html, java.nio.charset.StandardCharsets.UTF_8)
+                  val links = LinkExtract.extractLinks(e.protocol, e.host, body)
+                  nLinks = links.size
+                  if (e.depth <= cfg.maxDepth) {
+                    LinkExtract.dedupByUri(links)
+                      .filter(l => l.scope.exists(UriScope.enqueueable.contains))
+                      .zipWithIndex.foreach { case (l, i) =>
+                        val childUrl = UrlCanon.formFullUrl(e.protocol, l.uri, e.host, Some(e.url))
+                        childCandidates += SimEntry(childUrl, l.uri,
+                          UrlCanon.hostOf(childUrl).getOrElse(""),
+                          UrlCanon.protocolOf(childUrl).getOrElse("https"),
+                          e.depth + 1, e.priority :+ i)
+                      }
+                  }
+                }
+                results += SimResult(round, e.url, e.rawUrl, Some(cur), code,
+                  contentType, CrawlStatus.Fetched, e.depth, e.priority, n, nLinks,
+                  if (shouldDownload) Some(page.get.text) else None)
+                newSeen += e.url
+                newSeen += cur
+              }
+            }
+          }
+        }
+      }
+
+      seen = seen ++ newSeen
+      // children: dedup by url keeping best priority, then anti-join vs
+      // seen' and the still-queued frontier
+      val deferredUrls = deferred.map(_.url).toSet
+      val newEntries = childCandidates
+        .groupBy(_.url).values.map(_.min(prioOrd))
+        .filterNot(c => seen.contains(c.url) || deferredUrls.contains(c.url))
+        .toVector
+      frontier = deferred ++ newEntries
+      round += 1
+    }
+    SimOutput(results.toSeq, seen, round)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.robots
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robots semantics pinned by the reference unit tests
+  * (reference: robots_service.rs:124-185) plus Google-spec matcher cases. */
+class RobotsSpec extends AnyFunSuite {
+
+  test("disallow_all blocks everything (reference :129-139)") {
+    assert(!Robots.canAccess(disallowAll = true, allowAll = false, "", "tarantula", "https://example.com"))
+  }
+
+  test("allow_all allows (reference :142-153)") {
+    assert(Robots.canAccess(disallowAll = false, allowAll = true, "", "tarantula", "https://example.com"))
+  }
+
+  test("disallow_all precedes allow_all (reference :156-167)") {
+    assert(!Robots.canAccess(disallowAll = true, allowAll = true, "", "tarantula", "https://example.com"))
+  }
+
+  test("status dispatch (reference robots_service.rs:84-106)") {
+    assert(Robots.fromStatus(401, "") == Robots.HostRobots(true, false, ""))
+    assert(Robots.fromStatus(403, "") == Robots.HostRobots(true, false, ""))
+    assert(Robots.fromStatus(404, "") == Robots.HostRobots(false, true, ""))
+    assert(Robots.fromStatus(451, "") == Robots.HostRobots(false, true, ""))
+    assert(Robots.fromStatus(200, "x") == Robots.HostRobots(false, false, "x"))
+    assert(Robots.fromStatus(500, "x") == Robots.HostRobots(false, false, ""))
+  }
+
+  test("agent-specific disallow / blocks deep links (reference :170-184 shape)") {
+    val body = "user-agent: tarantula\ndisallow: /\n"
+    assert(!Robots.allowedByRules(body, "tarantula", "https://example.com/some-deeplink"))
+    // other agents unaffected (no * group)
+    assert(Robots.allowedByRules(body, "otherbot", "https://example.com/some-deeplink"))
+  }
+
+  test("longest match wins; allow wins ties; * and $ wildcards") {
+    val body =
+      """user-agent: *
+        |disallow: /private/
+        |allow: /private/ok
+        |disallow: /*.pdf$
+        |""".stripMargin
+    assert(!Robots.allowedByRules(body, "tarantula", "https://x.com/private/secret"))
+    assert(Robots.allowedByRules(body, "tarantula", "https://x.com/private/ok/page"))
+    assert(!Robots.allowedByRules(body, "tarantula", "https://x.com/docs/file.pdf"))
+    assert(Robots.allowedByRules(body, "tarantula", "https://x.com/docs/file.pdfx"))
+    assert(Robots.allowedByRules(body, "tarantula", "https://x.com/public"))
+  }
+
+  test("group selection: longest user-agent match beats *") {
+    val body =
+      """user-agent: *
+        |disallow: /
+        |
+        |user-agent: tarantula
+        |disallow:
+        |""".stripMargin
+    assert(Robots.allowedByRules(body, "tarantula", "https://x.com/anything"))
+    assert(!Robots.allowedByRules(body, "googlebot", "https://x.com/anything"))
+  }
+
+  test("empty / missing rules default to allow") {
+    assert(Robots.allowedByRules("", "tarantula", "https://x.com/a"))
+    assert(Robots.allowedByRules("# nothing here", "tarantula", "https://x.com/a"))
+  }
+}
