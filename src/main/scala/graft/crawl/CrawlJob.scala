@@ -103,6 +103,41 @@ object CrawlJob {
     JobResult(round, io.readResults(), io.readMetrics())
   }
 
+  /** Checkpoint-free variant for embedded use (driver smoke query, tests,
+    * bench): same round pipeline, state held as persisted Datasets instead of
+    * parquet checkpoints. Returns the full results table. */
+  def runInMemory(
+      spark: SparkSession,
+      seeds: Seq[String],
+      pages: DataFrame,
+      robots: DataFrame,
+      redirects: DataFrame,
+      cfg: CrawlConfig): DataFrame = {
+    import spark.implicits._
+    val robotsCache = FrontierRound.buildRobotsCache(robots).cache()
+    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).cache()
+    var frontier = seedFrontier(spark, seeds).persist()
+    var seen = emptySeen(spark).persist()
+    var results: DataFrame = null
+    var round = 0
+    var frontierCount = frontier.count()
+    while (frontierCount > 0 && round < cfg.maxRounds) {
+      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg)
+      // localCheckpoint: truncate the iterative lineage each round
+      val newResults = out.results.localCheckpoint(true)
+      val newSeenRows = out.newSeen.localCheckpoint(true)
+      val newFrontier = out.newFrontier.localCheckpoint(true)
+      frontier.unpersist(); seen.unpersist()
+      seen = seen.union(newSeenRows).persist()
+      frontier = newFrontier
+      results = if (results == null) newResults else results.union(newResults)
+      frontierCount = frontier.count()
+      round += 1
+    }
+    robotsCache.unpersist(); resolved.unpersist()
+    if (results == null) spark.emptyDataset[ResultRow].toDF() else results
+  }
+
   /** Canonical result ordering for parity checks: (round, depth, priority).
     * Materializing a contiguous global rank needs a single-partition window,
     * so it is done only here, on demand, never in the round hot path. */

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation over `documents`:
+  * exact (hash-groupBy), MinHash signatures + LSH banding, SimHash, word
+  * n-gram Jaccard, and embedding-cosine near-dup (in [[SimOps]]).
+  *
+  * Portability contract: every function here that feeds a DuckDB oracle uses
+  * only constructs with bit-identical semantics in both engines — `md5` hex
+  * strings (string min = unsigned-byte min, identical collation for hex),
+  * integer arithmetic, and exact rational ratios rounded at 4 decimals.
+  * Hash-based signatures therefore use min-over-md5 rather than xxhash64
+  * (which DuckDB lacks). At scale md5-per-token is still cheap relative to
+  * the shuffle the groupBy needs anyway, and stays inside whole-stage
+  * codegen.
+  */
+object DedupOps {
+
+  /** Exact dedup by full-content hash: one row per distinct md5(text) with
+    * the kept doc (min id) and the duplicate count. The canonical
+    * "hash-groupBy" exact dedup — at 100 TB this is a single shuffle on a
+    * 16-byte key with map-side partial aggregation. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct whitespace tokens per doc, exploded: (doc_id, tok). */
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** MinHash signature over the distinct-token set: k portable "hash
+    * permutations", permutation i = md5("i:" ++ token); the signature
+    * component is the minimum hex digest. */
+  def minhash(docs: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("tok")))).as(s"mh$i"))
+    docTokens(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a k-hash MinHash signature with `rows` hashes per band:
+    * output (band, band_sig, n_docs, min_doc, max_doc) — the bucket
+    * histogram. Docs sharing (band, band_sig) are near-dup candidates; the
+    * bucket-join (self-join on the band signature) is how candidates pair up
+    * at scale without the O(n²) cross join. */
+  def minhashLshBuckets(docs: DataFrame, k: Int, rows: Int): DataFrame = {
+    val sig = minhash(docs, k)
+    val nBands = k / rows
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("|", cols: _*).as("band_sig"))
+    }.reduce(_ unionByName _)
+    bands.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets, verified with the exact
+    * token-set Jaccard, keeping pairs ≥ threshold. This is the full
+    * shingle→minhash→band→bucket-join pipeline; the exact-verify join only
+    * touches candidate pairs, never the cross product. */
+  def minhashNearDups(docs: DataFrame, k: Int, rows: Int, threshold: Double): DataFrame = {
+    val sig = minhash(docs, k).cache()
+    val nBands = k / rows
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), concat_ws("|", cols: _*).as("band_sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val toks = docTokens(docs).groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("toks"))
+    cand.join(toks.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
+      .join(toks.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---------- SimHash ----------
+
+  /** Portable 64-bit SimHash over the distinct-token set, emitted as a
+    * 64-char '0'/'1' string. Bit b comes from hex digit b/4 (1-indexed
+    * substring position b/4+1) of md5(token), mask 8>>(b%4); the bit is 1
+    * iff the (+1/-1) vote sum over tokens is ≥ 0. Every sub-expression is
+    * integer-exact and shared verbatim with the DuckDB oracle
+    * ([[simhashOracleSql]]).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitCols = (0 until 64).map { b =>
+      val d = b / 4 + 1
+      val p = 8 >> (b % 4)
+      // digit value 0..15, then extract bit via floor-div/mod
+      val v = expr(s"instr('0123456789abcdef', substr(md5(tok), $d, 1)) - 1")
+      val bit = (floor(v / p.toDouble).cast("int") % 2)
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    val sums = docTokens(docs).groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val bits = (0 until 64).map(b => when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0")))
+    sums.select(col("doc_id"), concat(bits: _*).as("simhash_bits"))
+  }
+
+  /** DuckDB SQL computing the identical simhash over `documents`. */
+  def simhashOracleSql(docsTable: String): String = {
+    val sums = (0 until 64).map { b =>
+      val d = b / 4 + 1
+      val p = 8 >> (b % 4)
+      s"sum((cast(floor((instr('0123456789abcdef', substr(md5(tok), $d, 1)) - 1) / $p.0) as int) % 2) * 2 - 1) AS s$b"
+    }.mkString(", ")
+    val bits = (0 until 64).map(b => s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END").mkString(", ")
+    s"""SELECT doc_id, concat($bits) AS simhash_bits FROM (
+       |  SELECT doc_id, $sums FROM (
+       |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM $docsTable
+       |  ) GROUP BY doc_id
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- word n-gram Jaccard ----------
+
+  /** Distinct word 3-gram set per doc. */
+  def docShingles(docs: DataFrame, n: Int = 3): Column = {
+    val toks = split(col("text"), " ")
+    val grams = expr(
+      s"""CASE WHEN size(split(text, ' ')) >= $n
+         |THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+         |     i -> concat_ws(' ', slice(split(text, ' '), i, $n)))
+         |ELSE array() END""".stripMargin)
+    array_distinct(grams)
+  }
+
+  /** Exact n-gram Jaccard similarity for all doc pairs within the same
+    * `source` (the blocking key — at scale you never do the global cross
+    * join; block first, then pair within blocks). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("source"),
+      docShingles(docs, n).as("grams"))
+    sh.as("x").join(sh.as("y"),
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.grams"), col("y.grams"))).as("inter"),
+        size(array_union(col("x.grams"), col("y.grams"))).as("uni"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") > minJaccard)
+      .select("a", "b", "jaccard")
+  }
+}

@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.crawl.{CrawlJob, FrontierRound}
+import graft.model.CrawlConfig
+import graft.pipeline.{DedupOps, MediaOps, SimOps, TextOps}
+import graft.synth.Synth
+
+/** The driver-contract query inventory: every operator from SURVEY.md §2
+  * (crawl-engine ops, expressed over the driver's TPC-H-ish tables where
+  * SQL-expressible so DuckDB can oracle them) plus the training-data-pipeline
+  * operators (dedup / similarity / text analysis / multimodal) over the
+  * `documents` and `embeddings` tables.
+  *
+  * Oracle-parity rules (the driver hash-compares values column-sorted):
+  *  - identical column NAMES and comparable types on both sides (Spark int
+  *    widened to long wherever DuckDB returns BIGINT/HUGEINT);
+  *  - deterministic total ORDER BY on both sides;
+  *  - only bit-portable kernels in oracled queries: md5 hex, integer
+  *    arithmetic, rational ratios rounded at 4 decimals, double dot products
+  *    folded left-to-right.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------- crawl-engine ops over TPC-H tables ----------------
+
+  /** J2: the URL-seen anti-join — customers with no order above 400k (the
+    * "seen" side is the filtered build set, as in the frontier anti-join
+    * where seen is pre-filtered by partition bucket). */
+  def seenAntijoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).orderBy(col("c_custkey"))
+
+  val seenAntijoinSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A1: the per-host politeness top-k window — first 3 orders per customer. */
+  def hostTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val hostTopKSql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** J1/J3: seen-set union + distinct (the seen-update shape). */
+  def unionSeen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("key"))
+      .union(t(s, dir, "customer").select(col("c_custkey").as("key")))
+      .distinct().orderBy(col("key"))
+
+  val unionSeenSql: String =
+    """SELECT o_custkey AS key FROM orders
+      |UNION SELECT c_custkey FROM customer ORDER BY key""".stripMargin
+
+  /** F1: the depth-gate two-way split — rejected rows become labeled status
+    * rows, never silent drops. */
+  def depthGateSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("crawl_status",
+        when(col("l_linenumber") >= 4, lit("MaximumCrawlDepthReached"))
+          .otherwise(lit("Crawlable")))
+      .groupBy(col("crawl_status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("crawl_status"))
+
+  val depthGateSplitSql: String =
+    """SELECT CASE WHEN l_linenumber >= 4 THEN 'MaximumCrawlDepthReached'
+      |            ELSE 'Crawlable' END AS crawl_status, count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY crawl_status""".stripMargin
+
+  /** A4: per-round metrics aggregation shape. */
+  def roundMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+
+  val roundMetricsSql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** A5/GC analog: sessionize events (gap > 30 min ⇒ new session) — the
+    * batch expression of the reference's idle-watermark semantics. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // events.ts is TIMESTAMP_NTZ in parquet; session TZ is UTC, so the cast
+    // yields the same wall-clock epoch DuckDB's naive epoch_us computes
+    val micros = expr("unix_micros(cast(ts as timestamp))")
+    val gap = micros - lag(micros, 1).over(w)
+    t(s, dir, "events")
+      .withColumn("new_sess", when(gap.isNull || gap > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Tumbling-window aggregation (streaming semantics in batch). */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("hour_bucket",
+        floor(expr("unix_micros(cast(ts as timestamp))") / 3600000000.0).cast("long"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  val tumblingWindowSql: String =
+    """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+
+  /** A1–A3 on the real engine path: the salted two-phase politeness
+    * scheduler over a documents-derived frontier must equal a plain per-host
+    * top-k (the oracle). */
+  def scheduleTopK(s: SparkSession, dir: String): DataFrame = {
+    val frontier = t(s, dir, "documents").select(
+      concat(lit("https://"), col("source"), lit(".test/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      col("source").as("host"),
+      lit(0).as("depth"),
+      FrontierRound.prioChildUdf(lit(Array.emptyByteArray), col("doc_id").cast("int"))
+        .as("priority"))
+    val (scheduled, _) = FrontierRound.schedule(frontier,
+      CrawlConfig(hostQuotaPerRound = 3, saltBuckets = 4))
+    scheduled.select(col("host").as("source"), col("url"))
+      .orderBy(col("source"), col("url"))
+  }
+
+  val scheduleTopKSql: String =
+    """SELECT source, url FROM (
+      |  SELECT source, concat('https://', source, '.test/doc/', doc_id) AS url,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn <= 3 ORDER BY source, url""".stripMargin
+
+  // ---------------- text analysis over documents ----------------
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def bpeishTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
+  val bpeishTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(t(s, dir, "documents"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .orderBy(col("doc_id"))
+
+  val qualitySql: String = {
+    val sw = TextOps.stopwords.map(s0 => s"'$s0'").mkString(", ")
+    s"""SELECT doc_id, length(text) AS n_chars,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  round(len(list_filter(string_split(text, ' '), t -> t IN ($sw)))
+       |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |  round((length(text) - len(string_split(text, ' ')) + 1)
+       |        / len(string_split(text, ' ')), 4) AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------- dedup over documents ----------------
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDedup(t(s, dir, "documents")).orderBy(col("content_md5"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin
+
+  def minhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhash(t(s, dir, "documents"), 4).orderBy(col("doc_id"))
+
+  val minhashSql: String = {
+    val mins = (0 until 4).map(i => s"min(md5('$i:' || tok)) AS mh$i").mkString(", ")
+    s"""SELECT doc_id, $mins FROM (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def minhashLshBuckets(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashLshBuckets(t(s, dir, "documents"), 4, 2)
+      .orderBy(col("band"), col("band_sig"))
+
+  val minhashLshBucketsSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, min(md5('0:' || tok)) AS mh0, min(md5('1:' || tok)) AS mh1,
+      |         min(md5('2:' || tok)) AS mh2, min(md5('3:' || tok)) AS mh3
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM documents) GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_sig FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_sig FROM sig)
+      |SELECT band, band_sig, count(*) AS n_docs, min(doc_id) AS min_doc,
+      |       max(doc_id) AS max_doc
+      |FROM bands GROUP BY 1, 2 ORDER BY band, band_sig""".stripMargin
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.0)
+      .orderBy(col("a"), col("b"))
+
+  val ngramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |           || ' ' || string_split(text,' ')[i+2])) AS grams
+      |  FROM documents)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |       round(len(list_intersect(x.grams, y.grams))
+      |             / len(list_distinct(list_concat(x.grams, y.grams))), 4) AS jaccard
+      |FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+      |WHERE len(list_intersect(x.grams, y.grams)) > 0
+      |ORDER BY a, b""".stripMargin
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val simhashSql: String = DedupOps.simhashOracleSql("documents")
+
+  // ---------------- embedding similarity ----------------
+
+  def embedTop1(s: SparkSession, dir: String): DataFrame =
+    SimOps.cosineTopK(t(s, dir, "embeddings"), 1)
+      .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
+
+  val embedTop1Sql: String =
+    """SELECT vec_id, neighbor_id FROM (
+      |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rn
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val lshSeed = 42L
+  val lshPlanes = 8
+  val lshDims = 64
+
+  def embedLshBuckets(s: SparkSession, dir: String): DataFrame =
+    SimOps.lshBucketStats(t(s, dir, "embeddings"), lshSeed, lshPlanes, lshDims)
+      .orderBy(col("bucket"))
+
+  val embedLshBucketsSql: String = {
+    val ps = SimOps.planes(lshSeed, lshPlanes, lshDims)
+    val bits = (0 until lshPlanes).map { p =>
+      val arr = ps(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST($arr AS DOUBLE[])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT CAST($bits AS BIGINT) AS bucket, count(*) AS n_vectors,
+       |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------- multimodal plumbing ----------------
+
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    MediaOps.mediaStats(t(s, dir, "documents"))
+      .withColumn("n_bytes", col("n_bytes").cast("long"))
+      .orderBy(col("media_id"))
+
+  val mediaStatsSql: String =
+    """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+      |  CAST(floor((octet_length(encode(text)) + 255) / 256.0) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---------------- rows-only (not SQL-expressible in the oracle) ----------------
+
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashNearDups(t(s, dir, "documents"), 4, 2, 0.7)
+      .orderBy(col("a"), col("b"))
+
+  def embedLshTop1(s: SparkSession, dir: String): DataFrame =
+    SimOps.lshTopK(t(s, dir, "embeddings"), 1, lshSeed, lshPlanes, lshDims)
+      .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    MediaOps.frameFeatures(t(s, dir, "documents"))
+      .orderBy(col("media_id"), col("frame_no"))
+
+  /** The flagship: a full depth-bounded crawl of the synthesized web
+    * (pages/robots/redirects fixtures), returning the ordered results table. */
+  def crawlE2E(s: SparkSession, dir: String): DataFrame = {
+    val g = Synth.graph(42L, hosts = 3, pagesPerHost = 10)
+    val (pages, robots, redirects) = Synth.toDfs(s, g)
+    val results = CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
+      CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 12))
+    CrawlJob.orderedResults(results)
+      .select(col("schedule_rank"), col("round"), col("url"), col("final_url"),
+        col("http_code"), col("crawl_status"), col("depth"), col("n_redirects"),
+        col("n_links"), col("text"))
+  }
+
+  /** U1–U8 canonicalization + classification corpus (reference:
+    * linkresult/src/link_type_checker.rs:101-163, uri_service.rs:157-233). */
+  def canonCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val host = "www.example.com"
+    val parent = "https://www.example.com/dir/page.html"
+    val cases = Seq(
+      "/", "https://www.example.com/", "//www.example.com", "#anchor", "/#anchor",
+      "mailto:x@example.com", "data:image/png;base64,AAAA", "javascript:void(0)",
+      "whatsapp:send?text=hi", "page2.html", "/abs/path", "../up/one.html",
+      "//sub.www.example.com/x", "//cdn.other.net/lib.js",
+      "https://www.example.com/a//b", "https://other.example/x?q=/a b",
+      "HTTPS://www.example.com/UPPER", "http://www.example.com/plain")
+    cases.toDF("uri").select(
+      col("uri"),
+      udf((u: String) => graft.canon.UrlCanon.formFullUrl("https", u, host, Some(parent)))
+        .apply(col("uri")).as("canonical"),
+      udf((u: String) => graft.canon.LinkTypeChecker.forHost(host).getUriScope(u).orNull)
+        .apply(col("uri")).as("scope"),
+      udf((u: String) => graft.canon.LinkTypeChecker.forHost(host).getUriProtocol("https", u).orNull)
+        .apply(col("uri")).as("protocol"))
+      .orderBy(col("uri"))
+  }
+
+  /** X1/X2: link extraction + scope classification over synthesized pages. */
+  def extractLinks(s: SparkSession, dir: String): DataFrame = {
+    val g = Synth.graph(42L, hosts = 2, pagesPerHost = 6)
+    val (pages, _, _) = Synth.toDfs(s, g)
+    val ex = udf((host: String, html: Array[Byte]) =>
+      graft.canon.LinkExtract.extractLinks("https",
+        host, new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        .map(l => (l.uri, l.scope.orNull, l.protocol.orNull, l.sourceTag)))
+    pages.select(col("url"),
+        FrontierRound.hostOfUdf(col("url")).as("host"), col("html"))
+      .select(col("url"), explode(ex(col("host"), col("html"))).as("l"))
+      .select(col("url"), col("l._1").as("uri"), col("l._2").as("scope"),
+        col("l._3").as("protocol"), col("l._4").as("source_tag"))
+      .orderBy(col("url"), col("uri"), col("source_tag"))
+  }
+
+  // ---------------- registry ----------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seen_antijoin" -> seenAntijoin _,
+    "q_host_topk" -> hostTopK _,
+    "q_union_seen" -> unionSeen _,
+    "q_depth_gate_split" -> depthGateSplit _,
+    "q_round_metrics" -> roundMetrics _,
+    "q_sessionize" -> sessionize _,
+    "q_tumbling_window" -> tumblingWindow _,
+    "q_schedule_topk" -> scheduleTopK _,
+    "q_token_stats" -> tokenStats _,
+    "q_bpeish_tokens" -> bpeishTokens _,
+    "q_quality" -> quality _,
+    "q_exact_dedup" -> exactDedup _,
+    "q_minhash" -> minhash _,
+    "q_minhash_lsh_buckets" -> minhashLshBuckets _,
+    "q_ngram_jaccard" -> ngramJaccard _,
+    "q_simhash" -> simhash _,
+    "q_embed_top1" -> embedTop1 _,
+    "q_embed_lsh_buckets" -> embedLshBuckets _,
+    "q_media_stats" -> mediaStats _,
+    "q_minhash_neardups" -> minhashNearDups _,
+    "q_embed_lsh_top1" -> embedLshTop1 _,
+    "q_lang_id" -> langId _,
+    "q_fingerprint" -> fingerprints _,
+    "q_media_frames" -> mediaFrames _,
+    "q_crawl_e2e" -> crawlE2E _,
+    "q_canon_corpus" -> canonCorpus _,
+    "q_extract_links" -> extractLinks _)
+
+  val oracles: Map[String, String] = Map(
+    "q_seen_antijoin" -> seenAntijoinSql,
+    "q_host_topk" -> hostTopKSql,
+    "q_union_seen" -> unionSeenSql,
+    "q_depth_gate_split" -> depthGateSplitSql,
+    "q_round_metrics" -> roundMetricsSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_tumbling_window" -> tumblingWindowSql,
+    "q_schedule_topk" -> scheduleTopKSql,
+    "q_token_stats" -> tokenStatsSql,
+    "q_bpeish_tokens" -> bpeishTokensSql,
+    "q_quality" -> qualitySql,
+    "q_exact_dedup" -> exactDedupSql,
+    "q_minhash" -> minhashSql,
+    "q_minhash_lsh_buckets" -> minhashLshBucketsSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_simhash" -> simhashSql,
+    "q_embed_top1" -> embedTop1Sql,
+    "q_embed_lsh_buckets" -> embedLshBucketsSql,
+    "q_media_stats" -> mediaStatsSql)
+}

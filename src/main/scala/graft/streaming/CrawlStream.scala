@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.crawl.FrontierRound
+
+/** Structured-Streaming expression of the reference's continuous
+  * event-driven loop (tarantula is an always-on service: pages arrive,
+  * links flow out, the seen-set grows — SURVEY.md §2.9). The batch-iterative
+  * [[graft.crawl.CrawlJob]] is the deterministic round model; this module is
+  * the streaming face of the same operators for ingest-time use:
+  *
+  *  - [[extractedLinks]]: pages stream → canonicalized scoped links stream
+  *    (X1/X2/U1-U8 as one stage, html never crosses the stream shuffle);
+  *  - [[dedupedLinks]]: stateful URL-seen filter — first occurrence of each
+  *    canonical url passes, duplicates drop (J2 as streaming state, keyed by
+  *    url so state is hash-partitioned across executors like the seen
+  *    table's buckets);
+  *  - [[hostRates]]: per-host fetch-rate accounting over event-time tumbling
+  *    windows with a watermark (the politeness ledger, A1/A4).
+  */
+object CrawlStream {
+
+  final case class StreamLink(url: String, host: String, parent_url: String, rank: Int)
+
+  /** Pages stream → links stream. Same kernel as the batch path
+    * ([[FrontierRound.extractChildrenUdf]]), so batch and streaming dedup
+    * agree on the canonical url space. */
+  def extractedLinks(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("host", FrontierRound.hostOfUdf(col("url")))
+      .withColumn("protocol", FrontierRound.protocolOfUdf(col("url")))
+      .select(col("url").as("parent_url"), col("warc_ts"),
+        explode(FrontierRound.extractChildrenUdf(
+          col("protocol"), col("host"), col("html"), col("url")).getField("children")).as("c"))
+      .select(col("c.url").as("url"), FrontierRound.hostOfUdf(col("c.url")).as("host"),
+        col("parent_url"), col("c.rank").as("rank"), col("warc_ts"))
+
+  /** Stateful URL-seen filter: keyed by canonical url; the first arrival
+    * passes, every later one is dropped. State per key is a single boolean —
+    * at 10^10 urls the state store is sharded by the url hash across
+    * executors exactly like the batch seen table's buckets. */
+  def dedupedLinks(spark: SparkSession, links: DataFrame): Dataset[StreamLink] = {
+    import spark.implicits._
+    links.select(col("url"), col("host"), col("parent_url"), col("rank"))
+      .as[StreamLink]
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[StreamLink], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+        })
+  }
+
+  /** Per-host politeness ledger: fetches per host per 1-second event-time
+    * window, 10-second watermark for late captures. */
+  def hostRates(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("host", FrontierRound.hostOfUdf(col("url")))
+      .withWatermark("warc_ts", "10 seconds")
+      .groupBy(window(col("warc_ts"), "1 second"), col("host"))
+      .agg(count(lit(1)).as("fetches"))
+      .select(col("window.start").as("win_start"), col("host"), col("fetches"))
+}

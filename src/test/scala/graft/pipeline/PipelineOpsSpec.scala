@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the cat sat on the mat", "en", "srcA", 22L),
+    (1L, "the cat sat on the mat", "en", "srcA", 22L), // exact dup of 0
+    (2L, "the cat sat on the red mat", "en", "srcA", 26L), // near dup
+    (3L, "completely different words here entirely", "en", "srcB", 40L),
+    (4L, "der hund und die katze sind schön", "de", "srcB", 33L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---------- TextOps ----------
+
+  test("token stats and quality metrics") {
+    val q = TextOps.qualityScore(docs).collect().map(r =>
+      r.getLong(0) -> r).toMap
+    assert(q(0L).getAs[Int]("n_tokens") == 6)
+    // "the" twice + "on" of 6 tokens
+    assert(q(0L).getAs[Double]("stopword_ratio") == 0.5)
+    // (22 - 6 + 1)/6
+    assert(q(0L).getAs[Double]("mean_token_len") == 2.8333)
+  }
+
+  test("bpeish tokens split words, digits and symbols") {
+    val n = docs.select(size(TextOps.bpeishTokens(col("text")))).as[Int].collect()
+    assert(n(0) == 6)
+    val one = Seq((9L, "ab12 c-d!", "x", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val toks = one.select(TextOps.bpeishTokens(col("text"))).as[Seq[String]].head()
+    assert(toks == Seq("ab", "12", "c", "-", "d", "!"))
+  }
+
+  test("fingerprint is deterministic, content-sensitive, shift-robust min-hash") {
+    val (h1, m1) = TextOps.fingerprint("the cat sat on the mat and then some more")
+    val (h2, m2) = TextOps.fingerprint("the cat sat on the mat and then some more")
+    val (h3, _) = TextOps.fingerprint("the cat sat on the mat and then some morE")
+    assert(h1 == h2 && m1 == m2)
+    assert(h1 != h3)
+    // winnowing min-hash survives a prefix shift (same 16-byte windows exist)
+    val (_, mShift) = TextOps.fingerprint("XYZ the cat sat on the mat and then some more")
+    assert(mShift <= m1) // min over a superset of windows
+  }
+
+  test("langId picks a language deterministically") {
+    val out = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  // ---------- DedupOps ----------
+
+  test("exact dedup groups identical texts") {
+    val d = DedupOps.exactDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(d.length == 4) // 5 docs, one exact dup pair
+    val dup = d.filter(_._3 == 2)
+    assert(dup.length == 1 && dup.head._2 == 0L)
+  }
+
+  test("minhash: identical texts share signatures; banding buckets them") {
+    val sig = DedupOps.minhash(docs, 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+    val buckets = DedupOps.minhashLshBuckets(docs, 4, 2).collect()
+    val withDup = buckets.filter(_.getAs[Long]("n_docs") >= 2)
+    assert(withDup.nonEmpty)
+  }
+
+  test("minhash near-dups finds the exact and near pair, jaccard exact") {
+    val pairs = DedupOps.minhashNearDups(docs, 4, 2, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    // doc2 vs doc0: tokens {the,cat,sat,on,mat} vs +{red}: 5/6
+    pairs.get((0L, 2L)).foreach(j => assert(j == 0.8333))
+  }
+
+  test("simhash: 64 bits, equal for dups, unequal for different docs") {
+    val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+    // near-dup should be close in hamming distance
+    val ham = sh(0L).zip(sh(2L)).count { case (a, b) => a != b }
+    val hamFar = sh(0L).zip(sh(3L)).count { case (a, b) => a != b }
+    assert(ham < hamFar)
+  }
+
+  test("ngram jaccard pairs within source blocks") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, 3, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L))) // share "the cat sat", "cat sat on"
+    assert(!pairs.exists { case ((a, b), _) => a == 3L || b == 3L }) // srcB no overlap
+  }
+
+  // ---------- SimOps ----------
+
+  def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.95f, 0.05f), 1),
+    (4L, Array(-1.0f, -1.0f, -1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine top-1 finds the obvious neighbors") {
+    val nn = SimOps.cosineTopK(vecs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nn(0L) == 1L && nn(1L) == 0L)
+    assert(nn(2L) == 3L && nn(3L) == 2L)
+  }
+
+  test("LSH bucketing is deterministic and bucket-join top-k ⊆ brute-force candidates") {
+    val b1 = SimOps.lshBucket(vecs, 42L, 6, 3).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val b2 = SimOps.lshBucket(vecs, 42L, 6, 3).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    val approx = SimOps.lshTopK(vecs, 1, 42L, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // any returned neighbor must share the bucket of its query
+    val bk = SimOps.lshBucket(vecs, 42L, 4, 3).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    approx.foreach { case (q, n) => assert(bk(q) == bk(n)) }
+  }
+
+  test("cosine near-dups at high threshold keep only the close pairs") {
+    val nd = SimOps.cosineNearDups(vecs, 0.99, 42L, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!nd.contains((0L, 2L)))
+  }
+
+  // ---------- MediaOps ----------
+
+  test("media stats and frame features: deterministic stub decode plumbing") {
+    val stats = MediaOps.mediaStats(docs, frameSize = 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_bytes"), r.getLong(2))).toMap
+    assert(stats(0L)._1 == 22 && stats(0L)._2 == 3) // ceil(22/8)
+    val frames = MediaOps.frameFeatures(docs, frameSize = 8, sampleEvery = 2)
+      .filter(col("media_id") === 0).collect()
+    assert(frames.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 2)) // frames 0,1,2 → sampled 0,2
+    val f0 = frames.head
+    assert(f0.getAs[Int]("f_len") == 8)
+    // "the cat " bytes: min=' '(32), max='t'(116)
+    assert(f0.getAs[Int]("f_min") == 32 && f0.getAs[Int]("f_max") == 116)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.model.Page
+import graft.synth.Synth
+
+class CrawlStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def pagesFixture: Seq[Page] =
+    Synth.graph(42L, hosts = 2, pagesPerHost = 6).pages
+
+  test("streaming link extraction + stateful URL-seen dedup emits each url once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Page]
+    val links = CrawlStream.extractedLinks(input.toDF())
+    val deduped = CrawlStream.dedupedLinks(spark, links)
+    val q = deduped.writeStream
+      .format("memory").queryName("deduped_links")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cs-ckpt").toString)
+      .start()
+    try {
+      val ps = pagesFixture
+      input.addData(ps.take(4): _*)
+      q.processAllAvailable()
+      val first = spark.table("deduped_links").select("url").as[String].collect().toSet
+      assert(first.nonEmpty)
+      // re-send the SAME pages: every link is a duplicate → nothing new
+      input.addData(ps.take(4): _*)
+      q.processAllAvailable()
+      val second = spark.table("deduped_links").select("url").as[String].collect()
+      assert(second.length == second.distinct.length)
+      assert(second.toSet == first)
+      // a new page may add new urls, never duplicates
+      input.addData(ps.drop(4).take(4): _*)
+      q.processAllAvailable()
+      val third = spark.table("deduped_links").select("url").as[String].collect()
+      assert(third.length == third.distinct.length)
+      assert(first.subsetOf(third.toSet))
+    } finally q.stop()
+  }
+
+  test("host fetch-rate windows count per (second, host)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Page]
+    val q = CrawlStream.hostRates(input.toDF()).writeStream
+      .format("memory").queryName("host_rates")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cs-ckpt2").toString)
+      .start()
+    try {
+      input.addData(pagesFixture: _*)
+      q.processAllAvailable()
+      // append-mode windows only emit once the watermark passes; push it
+      // with a far-future row
+      input.addData(Page("https://late.test/", new java.sql.Timestamp(1700000000000L),
+        null, "", "en"))
+      q.processAllAvailable()
+      val rows = spark.table("host_rates")
+        .select("host", "fetches").as[(String, Long)].collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_._2 >= 1))
+      assert(rows.map(_._1).toSet.contains("host0.test"))
+    } finally q.stop()
+  }
+}
