@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster bench mode forks real executor JVMs and needs the Spark
+// distribution root to build their launch command
+val sparkHomeEnv = Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  // the executor launcher needs this when bypassing bin/load-spark-env.sh
+  "SPARK_SCALA_VERSION" -> "2.13",
+  // standalone workers hand executors their local dirs via env, ignoring
+  // spark.local.dir — without this, executor shuffle files land on the
+  // slow disk-backed /tmp and serialize the whole shuffle path
+  "SPARK_LOCAL_DIRS" -> sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+Compile / run / envVars ++= sparkHomeEnv
+Compile / runMain / envVars ++= sparkHomeEnv
+Test / envVars ++= sparkHomeEnv
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +39,5 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

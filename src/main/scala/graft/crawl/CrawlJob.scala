@@ -52,11 +52,14 @@ object CrawlJob {
     var frontier: DataFrame = null
     var seen: DataFrame = null
 
+    var bloomBytes: Map[Int, Array[Byte]] = Map.empty
+
     val last = if (resume) io.lastCommittedRound() else -1
     if (last >= 0) {
       round = last + 1
       frontier = io.readFrontier(last)
       seen = io.readSeen(last).map(_.select("url")).getOrElse(emptySeen(spark))
+      if (cfg.useBloomSeen) bloomBytes = io.readBlooms(last)
     } else {
       frontier = seedFrontier(spark, seeds)
       seen = emptySeen(spark)
@@ -64,7 +67,11 @@ object CrawlJob {
 
     var frontierCount = frontier.count()
     while (frontierCount > 0 && round < cfg.maxRounds) {
-      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg)
+      val blooms =
+        if (cfg.useBloomSeen)
+          Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
+        else None
+      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms)
 
       // persist first, commit manifest last (atomic) — exact-resume contract
       io.writeResults(round, out.results)
@@ -77,6 +84,18 @@ object CrawlJob {
       frontier = io.readFrontier(round)
       seen = io.readSeen(round).map(_.select("url")).getOrElse(emptySeen(spark))
       frontierCount = frontier.count()
+
+      // fold this round's additions into the per-bucket blooms (distributed
+      // build over just the new urls, driver-side union-merge) + checkpoint
+      if (cfg.useBloomSeen) {
+        val fresh = SeenFilter.buildBlooms(
+          spark.read.option("basePath", s"$stateDir/seen")
+            .parquet(s"$stateDir/seen/round=$round").select("url"),
+          cfg.seenBuckets, cfg.bloomExpectedPerBucket)
+        bloomBytes = SeenFilter.merge(bloomBytes, fresh)
+        io.writeBlooms(round, bloomBytes)
+      }
+      blooms.foreach(_.unpersist(false))
 
       val results = spark.read.parquet(s"$stateDir/results/round=$round")
       val agg = results.agg(
@@ -91,6 +110,7 @@ object CrawlJob {
         round, scheduledN, fetchedN, scheduledN - fetchedN,
         Option(agg.getAs[Long]("new_links")).getOrElse(0L),
         frontierCount, seen.count(), agg.getAs[Long]("hosts"))).toDF()
+      out.unpersist()
       io.writeMetrics(round, metricsDf)
       io.commitRound(round,
         s"""{"round":$round,"scheduled":$scheduledN,"fetched":$fetchedN,"frontier":$frontierCount}""")
@@ -120,13 +140,25 @@ object CrawlJob {
     var seen = emptySeen(spark).persist()
     var results: DataFrame = null
     var round = 0
+    var bloomBytes: Map[Int, Array[Byte]] = Map.empty
     var frontierCount = frontier.count()
     while (frontierCount > 0 && round < cfg.maxRounds) {
-      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg)
+      val blooms =
+        if (cfg.useBloomSeen)
+          Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
+        else None
+      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms)
       // localCheckpoint: truncate the iterative lineage each round
       val newResults = out.results.localCheckpoint(true)
       val newSeenRows = out.newSeen.localCheckpoint(true)
       val newFrontier = out.newFrontier.localCheckpoint(true)
+      out.unpersist()
+      if (cfg.useBloomSeen) {
+        bloomBytes = SeenFilter.merge(bloomBytes,
+          SeenFilter.buildBlooms(newSeenRows.select("url"),
+            cfg.seenBuckets, cfg.bloomExpectedPerBucket))
+      }
+      blooms.foreach(_.unpersist(false))
       frontier.unpersist(); seen.unpersist()
       seen = seen.union(newSeenRows).persist()
       frontier = newFrontier

@@ -138,7 +138,12 @@ object FrontierRound {
   final case class RoundOutput(
       results: DataFrame,     // ResultRow schema
       newSeen: DataFrame,     // (url)
-      newFrontier: DataFrame) // FrontierEntry schema (frontier for next round)
+      newFrontier: DataFrame, // FrontierEntry schema (frontier for next round)
+      cached: Seq[DataFrame]) // round-scoped persisted intermediates
+  {
+    /** Release the round's persisted intermediates once outputs are written. */
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   private val prioOrder: Seq[Column] = Seq(col("depth"), col("priority"), col("url"))
 
@@ -146,19 +151,26 @@ object FrontierRound {
     * two-phase salted window so one mega-host cannot serialize a partition
     * (north_rule: "salted-key skew handling for mega-hosts"). Phase 1 ranks
     * within (host, salt) — max saltBuckets*k survivors per host — phase 2
-    * ranks the survivors per host. Returns (scheduled, deferred). */
-  def schedule(frontier: DataFrame, cfg: CrawlConfig): (DataFrame, DataFrame) = {
+    * ranks the survivors per host.
+    *
+    * Returns (scheduled, deferred, cached): both outputs branch off the
+    * ranked intermediates, so those are persisted (MEMORY_AND_DISK) — the
+    * caller materializes scheduled AND deferred, and without the persist
+    * each branch would re-sort the whole frontier. Caller must unpersist
+    * `cached` when the round's outputs are written. */
+  def schedule(frontier: DataFrame, cfg: CrawlConfig): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val k = cfg.hostQuotaPerRound
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val salted = frontier.withColumn("salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(prioOrder: _*)
-    val p1 = salted.withColumn("rn1", row_number().over(w1))
+    val p1 = salted.withColumn("rn1", row_number().over(w1)).persist(disk)
     val p1keep = p1.filter(col("rn1") <= k).drop("rn1")
     val p1rest = p1.filter(col("rn1") > k).drop("rn1", "salt")
     val w2 = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
-    val p2 = p1keep.withColumn("rn2", row_number().over(w2))
+    val p2 = p1keep.withColumn("rn2", row_number().over(w2)).persist(disk)
     val scheduled = p2.filter(col("rn2") <= k).drop("rn2", "salt")
     val p2rest = p2.filter(col("rn2") > k).drop("rn2", "salt")
-    (scheduled, p1rest.unionByName(p2rest))
+    (scheduled, p1rest.unionByName(p2rest), Seq(p1, p2))
   }
 
   /** Run one round. `pages` must expose (url, html, text); `seen` is (url)
@@ -172,15 +184,24 @@ object FrontierRound {
       pages: DataFrame,
       robotsCache: DataFrame,
       resolvedRedirects: DataFrame,
-      cfg: CrawlConfig): RoundOutput = {
+      cfg: CrawlConfig,
+      seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.SeenBlooms]] = None): RoundOutput = {
+
+    // bloom-accelerated exact anti-join vs the seen set (when blooms cover
+    // exactly `seen`): definitely-new urls skip the join; bloom-positives
+    // take the exact path — identical output, a fraction of the shuffle
+    def antiSeen(candidates: DataFrame): DataFrame = seenBlooms match {
+      case Some(b) => SeenFilter.bloomAntiJoin(candidates, seen, b)
+      case None => candidates.join(seen.select("url"), Seq("url"), "left_anti")
+    }
 
     // 1. politeness top-k per host
-    val (scheduled0, deferred) = schedule(frontier, cfg)
+    val (scheduled0, deferred, schedCached) = schedule(frontier, cfg)
 
     // 2. dequeue-time AlreadyKnown gate — SILENT skip, no result row
     //    (page_crawl_command.rs:82-85 returns Ok(None); urls can become seen
     //    while queued, e.g. as someone else's redirect target)
-    val scheduled = scheduled0.join(seen.select("url"), Seq("url"), "left_anti")
+    val scheduled = antiSeen(scheduled0)
 
     // 3. depth gate → status rows (page_crawl_command.rs:73-77; 0 = unlimited)
     val depthGate = lit(cfg.maxDepth) > 0 && col("depth") >= cfg.maxDepth
@@ -211,10 +232,14 @@ object FrontierRound {
       .drop("start_url", "final_url")
     val pagesMeta = pages.select(col("url").as("pg_url"),
       col("html").isNotNull.as("pg_has_html"), col("text").as("pg_text"))
+    // persisted: results + seen + frontier all hang off this subtree, and the
+    // caller writes each separately — without the persist every write would
+    // re-run the joins (3× the round cost)
     val headed = withRedirects
       .join(pagesMeta, col("target") === col("pg_url"), "left")
       .withColumn("n_redirects", coalesce(col("n_redirects"), lit(0)))
       .withColumn("is_redirect_terminal", coalesce(col("terminal_is_redirect"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val connError = col("is_redirect_terminal") === false && col("pg_url").isNull
     val headOk = !connError
@@ -232,6 +257,9 @@ object FrontierRound {
     // re-join the fat html column only for rows that will parse it — the
     // pages scan for everyone else never reads html (column pruning)
     val pagesBody = pages.select(col("url").as("pb_url"), col("html").as("pb_html"))
+    // persisted AFTER the html is consumed by the extraction UDF and dropped:
+    // the fat bytes live only inside this one join stage, never in the cache
+    // or any later shuffle (SURVEY.md §7.4)
     val fetched = fetchedCols
       .join(pagesBody, col("should_download") && col("target") === col("pb_url"), "left")
       .withColumn("pl",
@@ -239,6 +267,7 @@ object FrontierRound {
           extractChildrenUdf(col("protocol"), col("host"), col("pb_html"), col("url")))
           .otherwise(lit(null)))
       .drop("pb_url", "pb_html")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---------- results ----------
     val statusResults = depthRejected
@@ -297,16 +326,17 @@ object FrontierRound {
       .filter(col("rn") === 1).drop("rn")
 
     // enqueue-time anti-join vs seen' ∪ still-queued frontier
-    // (page_loader_service.rs:157)
-    val seenPrime = seen.select("url").union(newSeen.select("url"))
-    val newEntries = kidsDeduped
-      .join(seenPrime, Seq("url"), "left_anti")
+    // (page_loader_service.rs:157). The blooms cover `seen` (through the
+    // previous round); this round's newSeen + the deferred queue are small
+    // and take the exact anti-join directly.
+    val newEntries = antiSeen(kidsDeduped)
+      .join(newSeen.select("url"), Seq("url"), "left_anti")
       .join(deferred.select("url"), Seq("url"), "left_anti")
       .select("url", "raw_url", "host", "protocol", "depth", "priority")
 
     val newFrontier = deferred.select("url", "raw_url", "host", "protocol", "depth", "priority")
       .unionByName(newEntries)
 
-    RoundOutput(results, newSeen, newFrontier)
+    RoundOutput(results, newSeen, newFrontier, schedCached ++ Seq(headed, fetched))
   }
 }

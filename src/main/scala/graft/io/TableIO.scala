@@ -46,6 +46,31 @@ final class TableIO(spark: SparkSession, root: String) {
   def writeMetrics(round: Int, df: DataFrame): Unit =
     df.drop("round").write.mode(SaveMode.Overwrite).parquet(p("metrics", s"round=$round"))
 
+  /** Per-bucket seen-Bloom filters for the round (cumulative through the
+    * round): one binary file per bucket under blooms/round=N/. Tiny (the
+    * broadcast payload), rewritten whole each round. */
+  def writeBlooms(round: Int, blooms: Map[Int, Array[Byte]]): Unit = {
+    val dir = Paths.get(p("blooms", s"round=$round"))
+    Files.createDirectories(dir)
+    blooms.foreach { case (bucket, bytes) =>
+      Files.write(dir.resolve(s"bucket=$bucket.bloom"), bytes)
+    }
+  }
+
+  def readBlooms(round: Int): Map[Int, Array[Byte]] = {
+    val dir = Paths.get(p("blooms", s"round=$round"))
+    if (!Files.isDirectory(dir)) return Map.empty
+    val rx = "bucket=(\\d+)\\.bloom".r
+    val out = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    Files.list(dir).forEach { f: Path =>
+      f.getFileName.toString match {
+        case rx(b) => out(b.toInt) = Files.readAllBytes(f)
+        case _ =>
+      }
+    }
+    out.toMap
+  }
+
   /** Atomic commit marker: write to a temp file, then rename into place. */
   def commitRound(round: Int, manifestJson: String): Unit = {
     val dir = Paths.get(p("manifest"))

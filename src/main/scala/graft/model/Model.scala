@@ -38,6 +38,12 @@ final case class CrawlConfig(
     saltBuckets: Int = 16,
     /** Hash-bucket count for the partitioned seen table. */
     seenBuckets: Int = 64,
+    /** Pre-filter the seen anti-join with broadcast per-bucket Bloom filters
+      * (exactness preserved: bloom-positives take the exact join). */
+    useBloomSeen: Boolean = true,
+    /** Bloom sizing: expected urls per bucket (3% fpp at this load). At
+      * 10^10 urls raise seenBuckets so this stays ≤ ~4M per bucket. */
+    bloomExpectedPerBucket: Long = 4096L,
     maxRounds: Int = 1000)
 
 /** One frontier entry. `priority` is a binary lineage path: 4 big-endian

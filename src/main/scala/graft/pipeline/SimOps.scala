@@ -31,13 +31,23 @@ object SimOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** (vec_id, embedding, nrm) with the L2 norm precomputed once per vector —
+    * never per pair. Uses the native codegen [[FloatVecDot]] expression. */
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.fnorm(col("embedding")).as("nrm"))
+
+  private def pairCos(q: String, c: String): Column =
+    graft.functions.VectorFunctions.fdot(col(s"$q.embedding"), col(s"$c.embedding")) /
+      (col(s"$q.nrm") * col(s"$c.nrm"))
+
   /** Exact brute-force cosine top-k neighbors per vector (excluding self).
     * Output (vec_id, rank, neighbor_id). Ties broken by neighbor id. */
   def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val e = withNorm(embeddings)
     val pairs = e.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        pairCos("q", "c").as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -76,12 +86,12 @@ object SimOps {
     * bucket produce no rows (the usual multi-probe/rotation tricks would
     * fix recall; out of scope here). */
   def lshTopK(embeddings: DataFrame, k: Int, seed: Long, nPlanes: Int, dims: Int): DataFrame = {
-    val b = lshBucket(embeddings, seed, nPlanes, dims)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val b = lshBucket(withNorm(embeddings), seed, nPlanes, dims)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     val pairs = b.as("q").join(b.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        pairCos("q", "c").as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -93,12 +103,12 @@ object SimOps {
     * candidate-limited to shared LSH buckets. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double, seed: Long,
       nPlanes: Int, dims: Int): DataFrame = {
-    val b = lshBucket(embeddings, seed, nPlanes, dims)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val b = lshBucket(withNorm(embeddings), seed, nPlanes, dims)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        pairCos("x", "y").as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
   }

@@ -151,7 +151,7 @@ object Queries {
       lit(0).as("depth"),
       FrontierRound.prioChildUdf(lit(Array.emptyByteArray), col("doc_id").cast("int"))
         .as("priority"))
-    val (scheduled, _) = FrontierRound.schedule(frontier,
+    val (scheduled, _, _) = FrontierRound.schedule(frontier,
       CrawlConfig(hostQuotaPerRound = 3, saltBuckets = 4))
     scheduled.select(col("host").as("source"), col("url"))
       .orderBy(col("source"), col("url"))
