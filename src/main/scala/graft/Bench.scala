@@ -147,7 +147,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
-    val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "12000000").toLong
     // 2 vs 8 single-core executors: this sandbox VM advertises 32 CPUs but
     // delivers ~13 cores of parallel compute (host oversubscription), so the
     // N→4N comparison must stay inside the linear region to measure the
@@ -178,8 +178,9 @@ object Bench {
       "executors" else "threads"
 
     // the sandbox VM's effective CPU supply swings over minutes (noisy
-    // host), so N and 4N trials are INTERLEAVED and each level keeps its
-    // best rate — throughput capability, not a lucky/unlucky time slice
+    // host), so trials run as INTERLEAVED (N, 4N) pairs — adjacent runs
+    // share host weather — and the reported efficiency is the MEDIAN over
+    // pair-wise efficiencies (no cherry-picking, robust to a noisy slice)
     def oneTrial(execs: Int): (Long, Double) = {
       def run[T](f: SparkSession => T): T = mode match {
         case "executors" => withExecutorSession(execs, coresPerExec, jar.get)(f)
@@ -190,16 +191,18 @@ object Bench {
         scheduleDedupRound(s, benchDir, quota)
       }
     }
-    val runs = (1 to trials).flatMap { _ =>
-      Seq(nExec -> oneTrial(nExec), (nExec * 4) -> oneTrial(nExec * 4))
+    val pairs = (1 to trials).map { _ =>
+      (oneTrial(nExec), oneTrial(nExec * 4))
     }
-    val (outN, rateN) = runs.filter(_._1 == nExec).map(_._2).maxBy(_._2)
-    val (out4N, rate4N) = runs.filter(_._1 == nExec * 4).map(_._2).maxBy(_._2)
+    val byEff = pairs.sortBy { case ((_, rN), (_, r4N)) => r4N / rN }
+    val ((outN, rateN), (out4N, rate4N)) = byEff(byEff.size / 2)
     val eff = (rate4N / rateN) / 4.0
+    val allRates = pairs.map { case ((_, rN), (_, r4N)) =>
+      f"""[$rN%.0f,$r4N%.0f]""" }.mkString("[", ",", "]")
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"$mode","frontier_urls":$frontierN,"executors_n":$nExec,"cores_per_executor":$coresPerExec,"rows_out":$outN,"rate_n":$rateN%.1f,"executors_4n":${nExec * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"$mode","frontier_urls":$frontierN,"executors_n":$nExec,"cores_per_executor":$coresPerExec,"rows_out":$outN,"rate_n":$rateN%.1f,"executors_4n":${nExec * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"pair_rates":$allRates}}""")
   }
 }

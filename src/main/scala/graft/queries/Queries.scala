@@ -336,8 +336,11 @@ object Queries {
   def crawlE2E(s: SparkSession, dir: String): DataFrame = {
     val g = Synth.graph(42L, hosts = 3, pagesPerHost = 10)
     val (pages, robots, redirects) = Synth.toDfs(s, g)
+    // blooms off: at 30 urls the per-round bloom build jobs cost more than
+    // they save (the bloom path is covered by SeenFilterSpec + CrawlE2ESpec)
     val results = CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
-      CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 12))
+      CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12,
+        useBloomSeen = false))
     CrawlJob.orderedResults(results)
       .select(col("schedule_rank"), col("round"), col("url"), col("final_url"),
         col("http_code"), col("crawl_status"), col("depth"), col("n_redirects"),

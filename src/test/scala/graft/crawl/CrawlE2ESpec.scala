@@ -62,13 +62,24 @@ class CrawlE2ESpec extends AnyFunSuite {
     val sparkSeen = io.readSeen(job.rounds - 1).get
       .select("url").collect().map(_.getString(0)).toSet
     assert(sparkSeen == sim.seen)
+
+    // byte-identical extracted text per url (north_rule invariant)
+    val pageText = g.pages.map(p => p.url -> p.text).toMap
+    val fetched = job.results
+      .filter(col("crawl_status") === CrawlStatus.Fetched && col("text").isNotNull)
+      .select("final_url", "text").collect()
+    assert(fetched.nonEmpty)
+    fetched.foreach { r =>
+      assert(r.getString(1) == pageText(r.getString(0)),
+        s"text mismatch for ${r.getString(0)}")
+    }
   }
 
   test("larger graph with all status classes exercised (5 hosts)") {
     val g = Synth.graph(seed = 7L, hosts = 5, pagesPerHost = 15)
     val cfg = CrawlConfig(maxDepth = 4, hostQuotaPerRound = 2)
-    val (job, sim, _) = runBoth(g, cfg, "larger")
-    val sRows = sparkRows(job.results)
+    val (results, sim) = runBothInMemory(g, cfg)
+    val sRows = sparkRows(results)
     val oRows = simRows(sim.results)
     assert(sRows == oRows)
     // every status class appears (fixture designed to exercise them)
@@ -81,35 +92,29 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(sRows.exists(_._10 > 0))
   }
 
-  test("byte-identical extracted text per url (north_rule invariant)") {
-    val g = Synth.graph(seed = 42L, hosts = 2, pagesPerHost = 12)
-    val cfg = CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3)
-    val (job, _, _) = runBoth(g, cfg, "text")
-    val pageText = g.pages.map(p => p.url -> p.text).toMap
-    val fetched = job.results
-      .filter(col("crawl_status") === CrawlStatus.Fetched && col("text").isNotNull)
-      .select("final_url", "text").collect()
-    assert(fetched.nonEmpty)
-    fetched.foreach { r =>
-      assert(r.getString(1) == pageText(r.getString(0)),
-        s"text mismatch for ${r.getString(0)}")
-    }
+  /** Checkpoint-free differential run for pure output-parity tests (the
+    * resume/seen tests above still cover the TableIO path). */
+  private def runBothInMemory(g: Synth.Graph, cfg: CrawlConfig) = {
+    val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
+    val results = CrawlJob.runInMemory(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg)
+    val sim = SimCrawler.run(g.pages, g.robots, g.redirects, g.seeds, cfg)
+    (results, sim)
   }
 
   test("robots compliance: no fetch from a disallow_all host; rules enforced") {
     val g = Synth.graph(seed = 11L, hosts = 6, pagesPerHost = 10)
     val cfg = CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4)
-    val (job, _, _) = runBoth(g, cfg, "robots")
+    val (results, _) = runBothInMemory(g, cfg)
     // host1.test has robots status 403 → disallow_all
-    val host1Fetches = job.results.filter(
+    val host1Fetches = results.filter(
       col("crawl_status") === CrawlStatus.Fetched &&
         col("url").contains("host1.test")).count()
     assert(host1Fetches == 0, "disallow_all host must never be fetched")
-    val host1Status = job.results.filter(col("url").contains("host1.test"))
+    val host1Status = results.filter(col("url").contains("host1.test"))
       .select("crawl_status").distinct().collect().map(_.getString(0)).toSet
     assert(host1Status.subsetOf(Set(CrawlStatus.RestrictedByRobotsTxt)))
     // host0.test blocks /page/1* except /page/10$
-    val blocked = job.results.filter(
+    val blocked = results.filter(
       col("crawl_status") === CrawlStatus.Fetched &&
         col("url").rlike("host0\\.test/page/1[0-9]*$") &&
         !col("url").endsWith("/page/10")).count()
@@ -119,9 +124,9 @@ class CrawlE2ESpec extends AnyFunSuite {
   test("depth gate: children at maxDepth yield status rows, never fetches") {
     val g = Synth.graph(seed = 42L, hosts = 2, pagesPerHost = 12)
     val cfg = CrawlConfig(maxDepth = 2, hostQuotaPerRound = 8)
-    val (job, sim, _) = runBoth(g, cfg, "depth")
-    assert(sparkRows(job.results) == simRows(sim.results))
-    val overDepth = job.results.filter(col("depth") >= 2)
+    val (results, sim) = runBothInMemory(g, cfg)
+    assert(sparkRows(results) == simRows(sim.results))
+    val overDepth = results.filter(col("depth") >= 2)
     assert(overDepth.filter(col("crawl_status") =!= CrawlStatus.MaximumCrawlDepthReached).count() == 0)
     assert(overDepth.count() > 0)
   }
@@ -151,8 +156,8 @@ class CrawlE2ESpec extends AnyFunSuite {
     // (page_loader_service.rs:142) only lets depth-0 pages enqueue
     val g = Synth.graph(seed = 42L, hosts = 2, pagesPerHost = 8)
     val cfg = CrawlConfig(maxDepth = 0, hostQuotaPerRound = 8)
-    val (job, sim, _) = runBoth(g, cfg, "depth0")
-    assert(sparkRows(job.results) == simRows(sim.results))
-    assert(job.results.agg(max("depth")).collect()(0).getInt(0) <= 1)
+    val (results, sim) = runBothInMemory(g, cfg)
+    assert(sparkRows(results) == simRows(sim.results))
+    assert(results.agg(max("depth")).collect()(0).getInt(0) <= 1)
   }
 }
