@@ -58,16 +58,22 @@ object Bench {
   }
 
   /** One schedule+dedup round over the on-disk input; returns (rows out,
-    * input urls per wall-clock second). Single action: scheduled ∪ deferred
-    * counted together — the shared ranked intermediates are persisted
-    * inside [[FrontierRound.schedule]], so nothing recomputes. */
+    * input urls per wall-clock second). The whole round — canonicalize →
+    * hash → seen anti-join → mega-host detection → salted politeness top-k —
+    * is ONE declarative plan materialized by ONE action (the aggregate over
+    * the schedule flag forces the windows), zero persists. */
   def scheduleDedupRound(spark: SparkSession, dir: String, quota: Int,
       limitN: Long = -1L): (Long, Double) = {
     val frontier0 = spark.read.parquet(s"$dir/frontier")
     val frontier = if (limitN > 0) frontier0.limit(limitN.toInt) else frontier0
     val inputN = frontier.count()
     val seen = spark.read.parquet(s"$dir/seen")
+    val cfg = CrawlConfig(hostQuotaPerRound = quota, saltBuckets = 64,
+      megaHostThreshold = 100000L)
     val t0 = System.nanoTime()
+    // mega-host detection from the RAW frontier (host is canon-invariant;
+    // mega-ness is a performance heuristic, so pre-dedup counts are fine)
+    val megaHosts = FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
     val canon = frontier.select(
       FrontierRound.canonUdf(lit("https"), col("raw_uri"), col("host"),
         concat(lit("https://"), col("host"), lit("/"))).as("url"),
@@ -75,12 +81,12 @@ object Bench {
       FrontierRound.prioChildUdf(lit(Array.emptyByteArray), col("rank")).as("priority"))
       .withColumn("url_hash", xxhash64(col("url")))
     val fresh = canon.join(seen.select(col("url")), Seq("url"), "left_anti")
-    val (scheduled, deferred, cached) = FrontierRound.schedule(fresh,
-      CrawlConfig(hostQuotaPerRound = quota, saltBuckets = 64))
-    val n = scheduled.select(col("url")).unionByName(deferred.select(col("url"))).count()
+    val flagged = FrontierRound.scheduleFlagged(fresh, cfg, megaHosts)
+    // one action over (scheduled ∪ deferred); summing the flag keeps the
+    // window from being pruned away and cross-checks the quota
+    val row = flagged.agg(count(lit(1)), sum(when(col("is_scheduled"), 1L).otherwise(0L))).collect()(0)
     val sec = (System.nanoTime() - t0) / 1e9
-    cached.foreach(_.unpersist())
-    (n, inputN / sec)
+    (row.getLong(0), inputN / sec)
   }
 
   private def commonBuilder(shufflePartitions: Int) = SparkSession.builder()
@@ -99,13 +105,30 @@ object Bench {
     try f(spark) finally spark.stop()
   }
 
+  /** Thread-parallelism scaling session: same fixed task granularity as
+    * [[withExecutorSession]] (64 shuffle partitions, 16 MB scan splits). */
+  def withScalingSession[T](cores: Int)(f: SparkSession => T): T = {
+    val spark = commonBuilder(64).master(s"local[$cores]")
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try f(spark) finally spark.stop()
+  }
+
   /** Multi-executor session: `executors` separate executor JVMs with
-    * `coresPerExec` cores each, via Spark's local-cluster master. */
+    * `coresPerExec` cores each, via Spark's local-cluster master.
+    *
+    * Scaling-measurement invariants: task granularity must be IDENTICAL at
+    * both cluster sizes, so shuffle partitions are fixed (64 — enough tasks
+    * to overlap compute/fetch at either level; AQE coalesces identically on
+    * identical data) and scan splits are capped at 16 MB so the
+    * UDF-heavy map stage has ≥ cores tasks even at the smaller level. */
   def withExecutorSession[T](executors: Int, coresPerExec: Int, jar: String)(
       f: SparkSession => T): T = {
-    val spark = commonBuilder(executors * coresPerExec)
+    val spark = commonBuilder(64)
       .master(s"local-cluster[$executors,$coresPerExec,9216]")
       .config("spark.executor.memory", "6g")
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.jars", "file:" + jar)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -184,7 +207,7 @@ object Bench {
     def oneTrial(execs: Int): (Long, Double) = {
       def run[T](f: SparkSession => T): T = mode match {
         case "executors" => withExecutorSession(execs, coresPerExec, jar.get)(f)
-        case _ => withSession(execs * coresPerExec)(f)
+        case _ => withScalingSession(execs * coresPerExec)(f)
       }
       run { s =>
         scheduleDedupRound(s, benchDir, quota, limitN = 200000) // JIT warm

@@ -27,9 +27,11 @@ object ScaleProbe {
     val tCanon = timed(canon.select(count(col("url"))).collect())
     val fresh = canon.join(seen, Seq("url"), "left_anti")
     val tAnti = timed(fresh.select(count(lit(1))).collect())
-    val (sched, defer, cached) = FrontierRound.schedule(fresh, CrawlConfig(hostQuotaPerRound = 8, saltBuckets = 64))
-    val tFull = timed(sched.select(col("url")).unionByName(defer.select(col("url"))).count())
-    cached.foreach(_.unpersist())
+    val cfg = CrawlConfig(hostQuotaPerRound = 8, saltBuckets = 64)
+    val mega = FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
+    val flagged = FrontierRound.scheduleFlagged(fresh, cfg, mega)
+    val tFull = timed(flagged.agg(count(lit(1)),
+      sum(when(col("is_scheduled"), 1L).otherwise(0L))).collect())
     Map("scan" -> tScan, "canon" -> tCanon, "anti" -> tAnti, "full" -> tFull)
   }
 
@@ -44,7 +46,7 @@ object ScaleProbe {
     Seq(n, n * 4).foreach { units =>
       val times =
         if (sys.env.contains("SPARK_GRAFT_THREAD_SCALING") || jar.isEmpty)
-          Bench.withSession(units) { s => stageTimes(s, dir); stageTimes(s, dir) }
+          Bench.withScalingSession(units) { s => stageTimes(s, dir); stageTimes(s, dir) }
         else
           Bench.withExecutorSession(units, 1, jar.get) { s =>
             stageTimes(s, dir); stageTimes(s, dir)

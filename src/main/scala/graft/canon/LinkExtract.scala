@@ -23,13 +23,21 @@ final case class ExtractedLink(
   */
 object LinkExtract {
   private val linkAttrs = Set("href", "src", "data-src")
-  private val rawText = Set("script", "style", "title", "textarea", "xmp")
+  // html5ever raw-text/RCDATA elements with scripting enabled (scraper's
+  // parse mode): their content is TEXT, not markup — including <noscript>
+  // and <iframe>, whose inner fallback markup the reference never sees
+  private val rawText = Set("script", "style", "title", "textarea", "xmp",
+    "iframe", "noembed", "noframes", "noscript")
 
   def extractLinks(parentProtocol: String, host: String, body: String): Seq[ExtractedLink] = {
     val checker = LinkTypeChecker.forHost(host)
     val out = scala.collection.mutable.ArrayBuffer.empty[ExtractedLink]
     val n = body.length
     var i = 0
+    // foreign-content depth (<svg>/<math> subtrees): html5ever's "adjust
+    // foreign attributes" step gives `xlink:href` the local name `href`
+    // there, so SVG <use xlink:href> IS a link (451-href golden fixture)
+    var foreignDepth = 0
     while (i < n) {
       val lt = body.indexOf('<', i)
       if (lt < 0) { i = n }
@@ -51,6 +59,11 @@ object LinkExtract {
           val end = body.indexOf('>', lt + 1)
           i = if (end < 0) n else end + 1
         } else if (c == '/') {
+          // close tag: track exit from foreign content
+          var j = lt + 2
+          while (j < n && (body.charAt(j).isLetterOrDigit || body.charAt(j) == '-' || body.charAt(j) == ':')) j += 1
+          val closeTag = body.substring(lt + 2, j).toLowerCase
+          if ((closeTag == "svg" || closeTag == "math") && foreignDepth > 0) foreignDepth -= 1
           val end = body.indexOf('>', lt + 1)
           i = if (end < 0) n else end + 1
         } else if (c.isLetter) {
@@ -90,10 +103,17 @@ object LinkExtract {
                 }
               }
               if (name.nonEmpty && seenAttrs.add(name)) {
-                if (firstLink.isEmpty && linkAttrs.contains(name)) firstLink = Some(value)
+                // foreign-attribute adjustment: xlink:href → href inside svg/math
+                val effName = if (foreignDepth > 0 && name == "xlink:href") "href" else name
+                if (firstLink.isEmpty && linkAttrs.contains(effName)) firstLink = Some(value)
               }
             }
           }
+          // html5ever honors the self-closing solidus only for FOREIGN
+          // elements; HTML elements ignore it (a non-void HTML element
+          // still wraps content)
+          val selfClosing = j < n && j > lt + 1 && body.charAt(j - 1) == '/'
+          if ((tag == "svg" || tag == "math") && !selfClosing) foreignDepth += 1
           i = if (j < n) j + 1 else n
           firstLink.foreach { raw =>
             out += ExtractedLink(
@@ -103,8 +123,10 @@ object LinkExtract {
               sourceTag = tag)
           }
           // skip raw-text / RCDATA content up to the matching close tag
+          // (case-insensitive in-place scan — never copies the body; a page
+          // with many <script> blocks must stay O(n), not O(n * blocks))
           if (rawText.contains(tag)) {
-            val close = body.toLowerCase.indexOf("</" + tag, i)
+            val close = indexOfCloseTag(body, tag, i)
             if (close < 0) i = n
             else {
               val end = body.indexOf('>', close)
@@ -118,6 +140,20 @@ object LinkExtract {
     }
     // byte-lexicographic (= code point) sort, matching Rust String cmp
     out.sortWith((a, b) => compareUtf8(a.uri, b.uri) < 0).toSeq
+  }
+
+  /** Case-insensitive scan for `</tag` starting at `from`; -1 if absent.
+    * `tag` must already be lowercase. */
+  private def indexOfCloseTag(body: String, tag: String, from: Int): Int = {
+    val n = body.length
+    val m = tag.length
+    var i = from
+    while (i + m + 2 <= n) {
+      if (body.charAt(i) == '<' && body.charAt(i + 1) == '/' &&
+          body.regionMatches(true, i + 2, tag, 0, m)) return i
+      i += 1
+    }
+    -1
   }
 
   /** Compare as UTF-8 byte sequences (Rust String Ord). Differs from Java

@@ -94,10 +94,20 @@ final class LinkTypeChecker(host: String) {
 }
 
 object LinkTypeChecker {
-  // One compiled-regex set per host, cached per executor JVM.
+  // One compiled-regex set per host, cached per executor JVM. BOUNDED: a
+  // web-scale crawl sees 10^8+ hosts per executor lifetime; an unbounded
+  // map is an OOM. On overflow the whole cache drops (recompiling a few
+  // regexes is far cheaper than tracking LRU order under contention).
+  private val MaxEntries = 1 << 16
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, LinkTypeChecker]()
-  def forHost(host: String): LinkTypeChecker =
-    cache.computeIfAbsent(host, h => new LinkTypeChecker(h))
+  def forHost(host: String): LinkTypeChecker = {
+    val hit = cache.get(host)
+    if (hit != null) hit
+    else {
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.computeIfAbsent(host, h => new LinkTypeChecker(h))
+    }
+  }
 }
 
 /** URL canonicalization, behaviorally matching the reference's UriService

@@ -53,13 +53,30 @@ object CrawlJob {
     var seen: DataFrame = null
 
     var bloomBytes: Map[Int, Array[Byte]] = Map.empty
+    // cumulative seen count, maintained INCREMENTALLY (the cumulative seen
+    // table is never rescanned for a metric) + the bloom capacity derived
+    // from it (filters are rebuilt wider when the load crosses capacity)
+    var seenTotal = 0L
+    var bloomCap = cfg.bloomExpectedPerBucket
 
     val last = if (resume) io.lastCommittedRound() else -1
     if (last >= 0) {
       round = last + 1
       frontier = io.readFrontier(last)
       seen = io.readSeen(last).map(_.select("url")).getOrElse(emptySeen(spark))
-      if (cfg.useBloomSeen) bloomBytes = io.readBlooms(last)
+      seenTotal = seen.count()
+      if (cfg.useBloomSeen) {
+        bloomCap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,
+          seenTotal / math.max(cfg.seenBuckets, 1))
+        bloomBytes = io.readBlooms(last)
+        // exact-resume guard: a checkpoint written pre-bloom (or partially
+        // restored) has seen rows but no bloom files — an empty bloom map
+        // would mark every url "definitely new" and silently skip the seen
+        // anti-join. Rebuild from the seen table instead.
+        if (bloomBytes.isEmpty && seenTotal > 0)
+          bloomBytes = SeenFilter.buildBlooms(seen.select("url"),
+            cfg.seenBuckets, bloomCap)
+      }
     } else {
       frontier = seedFrontier(spark, seeds)
       seen = emptySeen(spark)
@@ -71,10 +88,17 @@ object CrawlJob {
         if (cfg.useBloomSeen)
           Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
         else None
-      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms)
+      // salted scheduling only when some host CAN exceed the threshold —
+      // the driver-known frontier total gates the (cheap) per-host count job
+      val megaHosts =
+        if (frontierCount > cfg.megaHostThreshold)
+          FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
+        else Seq.empty[String]
+      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts)
 
       // persist first, commit manifest last (atomic) — exact-resume contract
       io.writeResults(round, out.results)
+      if (cfg.exportJsonl) io.writeResultsJsonl(round, out.results)
       io.writeSeen(round, out.newSeen
         .withColumn("bucket", pmod(xxhash64(col("url")), lit(cfg.seenBuckets))))
       io.writeFrontier(round, out.newFrontier)
@@ -147,11 +171,22 @@ object CrawlJob {
         if (cfg.useBloomSeen)
           Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
         else None
-      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms)
-      // localCheckpoint: truncate the iterative lineage each round
-      val newResults = out.results.localCheckpoint(true)
-      val newSeenRows = out.newSeen.localCheckpoint(true)
-      val newFrontier = out.newFrontier.localCheckpoint(true)
+      val megaHosts =
+        if (frontierCount > cfg.megaHostThreshold)
+          FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
+        else Seq.empty[String]
+      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts)
+      // localCheckpoint (lazy) truncates the iterative lineage; ONE tagged
+      // union job materializes all three checkpoints AND yields the
+      // frontier count — one Spark job per round instead of four
+      val newResults = out.results.localCheckpoint(false)
+      val newSeenRows = out.newSeen.localCheckpoint(false)
+      val newFrontier = out.newFrontier.localCheckpoint(false)
+      val counts = newResults.select(lit("r").as("t"))
+        .union(newSeenRows.select(lit("s").as("t")))
+        .union(newFrontier.select(lit("f").as("t")))
+        .groupBy(col("t")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       out.unpersist()
       if (cfg.useBloomSeen) {
         bloomBytes = SeenFilter.merge(bloomBytes,
@@ -163,19 +198,29 @@ object CrawlJob {
       seen = seen.union(newSeenRows).persist()
       frontier = newFrontier
       results = if (results == null) newResults else results.union(newResults)
-      frontierCount = frontier.count()
+      frontierCount = counts.getOrElse("f", 0L)
       round += 1
     }
     robotsCache.unpersist(); resolved.unpersist()
     if (results == null) spark.emptyDataset[ResultRow].toDF() else results
   }
 
-  /** Canonical result ordering for parity checks: (round, depth, priority).
-    * Materializing a contiguous global rank needs a single-partition window,
-    * so it is done only here, on demand, never in the round hot path. */
-  def orderedResults(results: DataFrame): DataFrame =
-    results.withColumn("schedule_rank",
-      row_number().over(Window.orderBy(col("round"), col("depth"), col("priority"), col("url"))))
+  /** Canonical result ordering for parity checks: a contiguous global rank
+    * over (round, depth, priority, url) — a total order (url is unique
+    * within a round). Computed DISTRIBUTED: global range-partitioned sort
+    * (Spark's orderBy) + per-partition zipWithIndex — never a
+    * single-partition window (`WindowExec: No Partition Defined` is a
+    * scale-killer on a real results table). */
+  def orderedResults(results: DataFrame): DataFrame = {
+    val spark = results.sparkSession
+    val sorted = results.orderBy(col("round"), col("depth"), col("priority"), col("url"))
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("schedule_rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
 
   def main(args: Array[String]): Unit = {
     // spark-submit entry: CrawlJob <pagesDir> <robotsDir> <redirectsDir>

@@ -80,8 +80,12 @@ object FrontierRound {
     * against the CURRENT hop's scheme/host, :73-90).
     *
     * Output: (start_url, final_url, n_redirects, terminal_is_redirect,
-    * terminal_status). final_url = last followed destination (= the
-    * reference's get_final_uri, head_response.rs:30-36).
+    * terminal_status, redirects). final_url = last followed destination
+    * (= the reference's get_final_uri, head_response.rs:30-36); `redirects`
+    * is the per-hop (source, destination, status) chain of FOLLOWED hops —
+    * one struct per append_redirect call (fetch_header_command.rs:73-90); a
+    * budget-terminal 3xx is never appended (the guard stops before
+    * following it).
     */
   def resolveRedirects(spark: SparkSession, redirects: DataFrame, cfg: CrawlConfig): DataFrame = {
     import spark.implicits._
@@ -91,17 +95,23 @@ object FrontierRound {
         hostOfUdf(col("src_url")), col("src_url")))
       .cache()
 
+    val emptyChain = array().cast("array<struct<source:string,destination:string,status:int>>")
+
     if (cfg.ignoreRedirects || cfg.maxRedirects == 0) {
       // HEAD answers 3xx but the chain is never followed (run_config
-      // ignore_redirects, fetch_header_command.rs:49)
+      // ignore_redirects, fetch_header_command.rs:49) — no hops recorded
       return r.select(col("src_url").as("start_url"), col("src_url").as("final_url"),
         lit(0).as("n_redirects"), lit(true).as("terminal_is_redirect"),
-        col("status").as("terminal_status"))
+        col("status").as("terminal_status"), emptyChain.as("redirects"))
     }
+
+    def hop(source: Column, destination: Column, status: Column): Column =
+      struct(source.as("source"), destination.as("destination"), status.as("status"))
 
     var resolved = r.select(
       col("src_url").as("start_url"), col("dest").as("cur_url"),
-      lit(1).as("n_redirects"), col("status").as("last_status"))
+      lit(1).as("n_redirects"), col("status").as("last_status"),
+      array(hop(col("src_url"), col("dest"), col("status"))).as("chain"))
     var done: DataFrame = null
     var hops = 1
     // follow while n_redirects < maxRedirects allows another hop
@@ -109,10 +119,11 @@ object FrontierRound {
       val joined = resolved.join(r.select(col("src_url").as("j_src"), col("dest").as("j_dest"),
         col("status").as("j_status")), resolved("cur_url") === col("j_src"), "left")
       val terminal = joined.filter(col("j_src").isNull)
-        .select(col("start_url"), col("cur_url"), col("n_redirects"), col("last_status"))
+        .select(col("start_url"), col("cur_url"), col("n_redirects"), col("last_status"), col("chain"))
       val continuing = joined.filter(col("j_src").isNotNull)
         .select(col("start_url"), col("j_dest").as("cur_url"),
-          (col("n_redirects") + 1).as("n_redirects"), col("j_status").as("last_status"))
+          (col("n_redirects") + 1).as("n_redirects"), col("j_status").as("last_status"),
+          concat(col("chain"), array(hop(col("cur_url"), col("j_dest"), col("j_status")))).as("chain"))
       done = if (done == null) terminal else done.union(terminal)
       resolved = continuing
       hops += 1
@@ -122,14 +133,17 @@ object FrontierRound {
       resolved("cur_url") === col("j_src"), "left")
     val exhaustedRedirect = exhausted.filter(col("j_src").isNotNull)
       .select(col("start_url"), col("cur_url").as("final_url"), col("n_redirects"),
-        lit(true).as("terminal_is_redirect"), col("j_status").as("terminal_status"))
+        lit(true).as("terminal_is_redirect"), col("j_status").as("terminal_status"),
+        col("chain").as("redirects"))
     val exhaustedClean = exhausted.filter(col("j_src").isNull)
       .select(col("start_url"), col("cur_url").as("final_url"), col("n_redirects"),
-        lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"))
+        lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"),
+        col("chain").as("redirects"))
     val tail = exhaustedRedirect.union(exhaustedClean)
     if (done == null) tail
     else done.select(col("start_url"), col("cur_url").as("final_url"),
-      col("n_redirects"), lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"))
+      col("n_redirects"), lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"),
+      col("chain").as("redirects"))
       .union(tail)
   }
 
@@ -147,30 +161,69 @@ object FrontierRound {
 
   private val prioOrder: Seq[Column] = Seq(col("depth"), col("priority"), col("url"))
 
-  /** Politeness scheduler: exact per-host top-k by canonical priority, as a
-    * two-phase salted window so one mega-host cannot serialize a partition
-    * (north_rule: "salted-key skew handling for mega-hosts"). Phase 1 ranks
-    * within (host, salt) — max saltBuckets*k survivors per host — phase 2
-    * ranks the survivors per host.
+  /** Hosts whose pending count exceeds the salting threshold — the ONLY
+    * hosts routed through the two-phase salted top-k. Mega-ness is a pure
+    * performance heuristic (any choice yields the same exact top-k), so the
+    * caller may also feed stale/raw counts (e.g. last round's metrics).
+    * The collect is tiny: hosts with > threshold pending are rare by
+    * construction at any scale. */
+  def findMegaHosts(frontier: DataFrame, threshold: Long): Seq[String] =
+    frontier.groupBy(col("host")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > threshold)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Politeness scheduler: exact per-host top-k by canonical priority
+    * (north_rule: "host-keyed priority queue", "salted-key skew handling for
+    * mega-hosts"), returning the frontier with an `is_scheduled` flag in ONE
+    * declarative plan — no persist, no branch.
     *
-    * Returns (scheduled, deferred, cached): both outputs branch off the
-    * ranked intermediates, so those are persisted (MEMORY_AND_DISK) — the
-    * caller materializes scheduled AND deferred, and without the persist
-    * each branch would re-sort the whole frontier. Caller must unpersist
-    * `cached` when the round's outputs are written. */
-  def schedule(frontier: DataFrame, cfg: CrawlConfig): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    * Non-mega hosts (the overwhelming majority): a single per-host
+    * row_number window — one shuffle+sort, exact top-k.
+    *
+    * Mega hosts (pending > cfg.megaHostThreshold, passed in by the caller):
+    * phase 1 ranks within (host, salt) so no sort task ever sees more than
+    * ~pending/saltBuckets rows of one host; phase 2 ranks only the
+    * ≤ saltBuckets·k phase-1 survivors per host. Rows with rn1 > k are
+    * deferred without touching phase 2.
+    */
+  def scheduleFlagged(frontier: DataFrame, cfg: CrawlConfig,
+      megaHosts: Seq[String] = Seq.empty): DataFrame = {
     val k = cfg.hostQuotaPerRound
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val salted = frontier.withColumn("salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
-    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(prioOrder: _*)
-    val p1 = salted.withColumn("rn1", row_number().over(w1)).persist(disk)
-    val p1keep = p1.filter(col("rn1") <= k).drop("rn1")
-    val p1rest = p1.filter(col("rn1") > k).drop("rn1", "salt")
-    val w2 = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
-    val p2 = p1keep.withColumn("rn2", row_number().over(w2)).persist(disk)
-    val scheduled = p2.filter(col("rn2") <= k).drop("rn2", "salt")
-    val p2rest = p2.filter(col("rn2") > k).drop("rn2", "salt")
-    (scheduled, p1rest.unionByName(p2rest), Seq(p1, p2))
+    val whost = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
+    if (megaHosts.isEmpty) {
+      frontier.withColumn("__rn", row_number().over(whost))
+        .withColumn("is_scheduled", col("__rn") <= k).drop("__rn")
+    } else {
+      val isMega = col("host").isin(megaHosts: _*)
+      val normal = frontier.filter(!isMega)
+        .withColumn("__rn", row_number().over(whost))
+        .withColumn("is_scheduled", col("__rn") <= k).drop("__rn")
+      val p1 = frontier.filter(isMega)
+        .withColumn("__salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets.toLong)))
+        .withColumn("__rn1", row_number().over(
+          Window.partitionBy(col("host"), col("__salt")).orderBy(prioOrder: _*)))
+        .drop("__salt")
+      val surv = p1.filter(col("__rn1") <= k).drop("__rn1")
+        .withColumn("__rn2", row_number().over(whost))
+        .withColumn("is_scheduled", col("__rn2") <= k).drop("__rn2")
+      val rest = p1.filter(col("__rn1") > k).drop("__rn1")
+        .withColumn("is_scheduled", lit(false))
+      normal.unionByName(surv).unionByName(rest)
+    }
+  }
+
+  /** [[scheduleFlagged]] materialized once and split into (scheduled,
+    * deferred, cached). The single persist exists because callers act on
+    * both branches; callers that only need one pass over the flagged rows
+    * should use [[scheduleFlagged]] directly (zero persists). Caller must
+    * unpersist `cached` when done. */
+  def schedule(frontier: DataFrame, cfg: CrawlConfig,
+      megaHosts: Seq[String] = Seq.empty): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val flagged = scheduleFlagged(frontier, cfg, megaHosts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (flagged.filter(col("is_scheduled")).drop("is_scheduled"),
+      flagged.filter(!col("is_scheduled")).drop("is_scheduled"),
+      Seq(flagged))
   }
 
   /** Run one round. `pages` must expose (url, html, text); `seen` is (url)
@@ -185,7 +238,8 @@ object FrontierRound {
       robotsCache: DataFrame,
       resolvedRedirects: DataFrame,
       cfg: CrawlConfig,
-      seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.SeenBlooms]] = None): RoundOutput = {
+      seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.SeenBlooms]] = None,
+      megaHosts: Seq[String] = Seq.empty): RoundOutput = {
 
     // bloom-accelerated exact anti-join vs the seen set (when blooms cover
     // exactly `seen`): definitely-new urls skip the join; bloom-positives
@@ -196,7 +250,7 @@ object FrontierRound {
     }
 
     // 1. politeness top-k per host
-    val (scheduled0, deferred, schedCached) = schedule(frontier, cfg)
+    val (scheduled0, deferred, schedCached) = schedule(frontier, cfg, megaHosts)
 
     // 2. dequeue-time AlreadyKnown gate — SILENT skip, no result row
     //    (page_crawl_command.rs:82-85 returns Ok(None); urls can become seen
@@ -223,15 +277,24 @@ object FrontierRound {
 
     // 5. redirect resolution (one static-closure join) + page lookup.
     //    A url in the redirects fixture answers 3xx; otherwise a url in
-    //    pages answers 200 text/html (octet-stream when html is null);
+    //    pages answers its http_status (default 200) with its headers
+    //    (default: text/html when html is present, octet-stream otherwise);
     //    otherwise the HEAD fails → ConnectionError
     //    (page_crawl_command.rs:116-135).
     val withRedirects = crawlable
       .join(resolvedRedirects, crawlable("url") === resolvedRedirects("start_url"), "left")
       .withColumn("target", coalesce(col("final_url"), col("url")))
       .drop("start_url", "final_url")
+    // optional fixture columns: headers (keys lowercased on ingestion — F9,
+    // http_utils.rs:7-12) and per-page http_status; a bare input_hint table
+    // (url, warc_ts, html, text, lang) gets the synthesized defaults
+    val hasHeaders = pages.columns.contains("headers")
+    val hasStatus = pages.columns.contains("http_status")
     val pagesMeta = pages.select(col("url").as("pg_url"),
-      col("html").isNotNull.as("pg_has_html"), col("text").as("pg_text"))
+      col("html").isNotNull.as("pg_has_html"), col("text").as("pg_text"),
+      (if (hasHeaders) transform_keys(col("headers"), (k, _) => lower(k))
+       else lit(null).cast("map<string,string>")).as("pg_headers"),
+      (if (hasStatus) coalesce(col("http_status"), lit(200)) else lit(200)).as("pg_status"))
     // persisted: results + seen + frontier all hang off this subtree, and the
     // caller writes each separately — without the persist every write would
     // re-run the joins (3× the round cost)
@@ -244,15 +307,21 @@ object FrontierRound {
     val connError = col("is_redirect_terminal") === false && col("pg_url").isNull
     val headOk = !connError
 
-    // 6. download + link extraction for html 200s only
-    //    (should_download: success && text/html, page_crawl_command.rs:157-166)
+    // 6. download + link extraction, gated by should_download
+    //    (page_crawl_command.rs:157-166): (HTTP success OR an `x-cache`
+    //    header containing "cloudfront" — a CDN-cached error page still
+    //    serves a body) AND content-type contains text/html (F5+F6)
     val fetchedCols = headed.filter(headOk)
-      .withColumn("http_code", when(col("is_redirect_terminal"), col("terminal_status")).otherwise(lit(200)))
+      .withColumn("http_code", when(col("is_redirect_terminal"), col("terminal_status")).otherwise(col("pg_status")))
       .withColumn("content_type",
         when(col("is_redirect_terminal"), lit(null).cast("string"))
-          .otherwise(when(col("pg_has_html"), lit("text/html")).otherwise(lit("application/octet-stream"))))
+          .otherwise(coalesce(element_at(col("pg_headers"), "content-type"),
+            when(col("pg_has_html"), lit("text/html")).otherwise(lit("application/octet-stream")))))
       .withColumn("should_download",
-        col("is_redirect_terminal") === false && col("content_type") === "text/html")
+        col("is_redirect_terminal") === false &&
+          (col("http_code").between(200, 299) ||
+            coalesce(element_at(col("pg_headers"), "x-cache").contains("cloudfront"), lit(false))) &&
+          coalesce(col("content_type").contains("text/html"), lit(false)))
 
     // re-join the fat html column only for rows that will parse it — the
     // pages scan for everyone else never reads html (column pruning)
@@ -270,28 +339,40 @@ object FrontierRound {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---------- results ----------
+    val chainType = "array<struct<source:string,destination:string,status:int>>"
+    val nullChain = lit(null).cast(chainType)
+
     val statusResults = depthRejected
       .withColumn("crawl_status", lit(CrawlStatus.MaximumCrawlDepthReached))
       .unionByName(robotsRejected.withColumn("crawl_status", lit(CrawlStatus.RestrictedByRobotsTxt)))
       .select(lit(round).as("round"), col("url"), col("raw_url"),
         lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
+        lit(null).cast("string").as("status_label"),
         lit(null).cast("string").as("content_type"), col("crawl_status"),
         col("depth"), col("priority"), lit(0).as("n_redirects"),
+        nullChain.as("redirects"),
         lit(-1).as("n_links"), lit(null).cast("string").as("text"))
 
     val connResults = headed.filter(connError)
       .select(lit(round).as("round"), col("url"), col("raw_url"),
         lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
+        lit(null).cast("string").as("status_label"),
         lit(null).cast("string").as("content_type"),
         lit(CrawlStatus.ConnectionError).as("crawl_status"),
         col("depth"), col("priority"), lit(0).as("n_redirects"),
+        nullChain.as("redirects"),
         lit(-1).as("n_links"), lit(null).cast("string").as("text"))
 
     val fetchResults = fetched
       .select(lit(round).as("round"), col("url"), col("raw_url"),
-        col("target").as("final_url"), col("http_code"), col("content_type"),
+        col("target").as("final_url"), col("http_code"),
+        StatusCodes.labelCol(col("http_code")).as("status_label"),
+        col("content_type"),
         lit(CrawlStatus.Fetched).as("crawl_status"),
         col("depth"), col("priority"), col("n_redirects"),
+        // a successful HEAD always carries a (possibly empty) chain
+        // (head_response.rs:9-17: redirects is a Vec, never absent)
+        coalesce(col("redirects"), array().cast(chainType)).as("redirects"),
         coalesce(col("pl.n_links"), lit(-1)).as("n_links"),
         when(col("should_download"), col("pg_text")).otherwise(lit(null).cast("string")).as("text"))
 

@@ -69,6 +69,19 @@ object SeenFilter {
     out.toMap
   }
 
+  /** Per-bucket capacity the filters must be sized for at cumulative load
+    * `perBucketLoad`: the base capacity doubled until it covers the load.
+    * Keeping capacity a deterministic function of the load lets resume
+    * re-derive the bit width of checkpointed filters (merge requires equal
+    * widths) without a manifest field, and keeps the false-positive rate
+    * bounded as the seen set grows — a fixed-width filter saturates
+    * (fpp → 1) and silently degrades the anti-join to the exact path. */
+  def sizedFor(base: Long, perBucketLoad: Long): Long = {
+    var cap = math.max(base, 1L)
+    while (perBucketLoad > cap) cap *= 2
+    cap
+  }
+
   def broadcastBlooms(spark: SparkSession, buckets: Int,
       bytes: Map[Int, Array[Byte]]): Broadcast[SeenBlooms] =
     spark.sparkContext.broadcast(new SeenBlooms(buckets, bytes))

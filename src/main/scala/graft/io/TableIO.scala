@@ -33,6 +33,21 @@ final class TableIO(spark: SparkSession, root: String) {
   def writeResults(round: Int, df: DataFrame): Unit =
     df.drop("round").write.mode(SaveMode.Overwrite).parquet(p("results", s"round=$round"))
 
+  /** JSONL export of a round's results (S5 parity: the reference POSTs one
+    * `PageResponse` JSON per page to the callback url,
+    * server/src/http.rs:46-84). One JSON object per line
+    * (`to_json(struct(*))` — binary `priority` renders as base64), written
+    * NEXT TO the parquet results, never instead of them. */
+  def writeResultsJsonl(round: Int, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val d = df.drop("round")
+    d.select(to_json(struct(d.columns.map(col): _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).text(p("results_jsonl", s"round=$round"))
+  }
+
+  def readResultsJsonl(round: Int): DataFrame =
+    spark.read.json(p("results_jsonl", s"round=$round"))
+
   /** Seen urls are stored partitioned by `bucket` = pmod(xxhash64(url), B) so
     * scans parallelize uniformly and per-bucket maintenance (bloom files,
     * compaction) has a natural unit. */

@@ -3,13 +3,28 @@ package graft.model
 import java.sql.Timestamp
 
 /** The web-as-a-table input (BASELINE.json input_hint; substitutes the
-  * reference's live HTTP, page_loader/src/http/http_client.rs:88-94). */
+  * reference's live HTTP, page_loader/src/http/http_client.rs:88-94).
+  *
+  * The first five columns are the input_hint contract and the REQUIRED
+  * shape; `headers`/`http_status` are optional fixture extensions the
+  * engine detects by name (a bare 5-column table gets synthesized
+  * content-type headers and status 200). `headers` models the HTTP response
+  * headers (reference: HeadResponse/GetResponse.headers,
+  * responses/src/head_response.rs:9-17) — key case is arbitrary on disk;
+  * the engine lowercases keys on ingestion (F9, http_utils.rs:7-12). */
 final case class Page(
     url: String,
     warc_ts: Timestamp,
     html: Array[Byte],
     text: String,
-    lang: String)
+    lang: String,
+    headers: Map[String, String] = null,
+    http_status: Integer = null)
+
+/** One followed redirect hop (reference: responses/src/redirect.rs:9-16 —
+  * headers/timings omitted: per-row wall clocks are nondeterministic and
+  * hop headers carry no downstream signal in the batch model). */
+final case class RedirectHop(source: String, destination: String, status: Int)
 
 /** Synthesized redirect fixture: HEAD on src_url answers (status, location)
   * (reference: fetch_header_command.rs:31-69). */
@@ -36,11 +51,18 @@ final case class CrawlConfig(
     hostQuotaPerRound: Int = 4,
     /** Salt fan-out for the two-phase per-host top-k (mega-host skew). */
     saltBuckets: Int = 16,
+    /** Pending-URL count above which a host is routed through the salted
+      * two-phase top-k. Purely a performance heuristic — either path yields
+      * the same exact per-host top-k. Below it a single per-host window is
+      * cheaper (one sort, no phase 2). */
+    megaHostThreshold: Long = 100000L,
     /** Hash-bucket count for the partitioned seen table. */
     seenBuckets: Int = 64,
     /** Pre-filter the seen anti-join with broadcast per-bucket Bloom filters
       * (exactness preserved: bloom-positives take the exact join). */
     useBloomSeen: Boolean = true,
+    /** Also export each round's results as JSONL (S5 parity path). */
+    exportJsonl: Boolean = false,
     /** Bloom sizing: expected urls per bucket (3% fpp at this load). At
       * 10^10 urls raise seenBuckets so this stays ≤ ~4M per bucket. */
     bloomExpectedPerBucket: Long = 4096L,
@@ -70,12 +92,14 @@ final case class ResultRow(
     raw_url: String,
     final_url: String,          // null unless fetch succeeded
     http_code: Int,             // -1 when no HTTP exchange happened
+    status_label: String,       // F10 canonical label; null when code = -1
     content_type: String,
     crawl_status: String,       // "Fetched" | "ConnectionError" |
                                 // "RestrictedByRobotsTxt" | "MaximumCrawlDepthReached"
     depth: Int,
     priority: Array[Byte],
     n_redirects: Int,
+    redirects: Seq[RedirectHop], // per-hop chain (R1); null when no HTTP HEAD ran
     n_links: Int,               // -1 when no body was parsed
     text: String)               // byte-identical per url (north_rule invariant)
 

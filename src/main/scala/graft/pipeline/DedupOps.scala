@@ -62,13 +62,23 @@ object DedupOps {
     * token-set Jaccard, keeping pairs ≥ threshold. This is the full
     * shingle→minhash→band→bucket-join pipeline; the exact-verify join only
     * touches candidate pairs, never the cross product. */
-  def minhashNearDups(docs: DataFrame, k: Int, rows: Int, threshold: Double): DataFrame = {
+  def minhashNearDups(docs: DataFrame, k: Int, rows: Int, threshold: Double,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
     val sig = minhash(docs, k).cache()
     val nBands = k / rows
-    val bands = (0 until nBands).map { b =>
+    val bands0 = (0 until nBands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
       sig.select(col("doc_id"), lit(b).as("band"), concat_ws("|", cols: _*).as("band_sig"))
     }.reduce(_ unionByName _)
+    // Skew ceiling: a degenerate band signature (empty/boilerplate docs)
+    // turns the bucket self-join quadratic — count(bucket)² pairs. Buckets
+    // over maxBucketSize are dropped BEFORE the join (their members are
+    // exact-duplicate-shaped and belong to exactDedup, not near-dup pairing).
+    // One cheap window count; the join input stays bounded per bucket.
+    val bandCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig"))
+    val bands = bands0.withColumn("__bn", count(lit(1)).over(bandCnt))
+      .filter(col("__bn") <= maxBucketSize).drop("__bn")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -146,21 +156,43 @@ object DedupOps {
     * the number of truly-overlapping pairs instead of the block size
     * squared (the 250-doc blocks at sf0.1 made the cross-join version
     * ~100× slower than this). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("source"),
+  /** @param maxDocFreq document-frequency ceiling per (source, gram):
+    *   shingles appearing in more docs than this are dropped from the
+    *   inverted index BEFORE the self-join (0 = disabled). At corpus scale a
+    *   boilerplate trigram shared by 10^6 docs would alone contribute 10^12
+    *   join rows; ultra-common shingles carry no near-dup signal (their
+    *   selectivity is ~1) so a ceiling bounds the join at negligible recall
+    *   cost. NOTE: with a ceiling the |A∩B| counts exclude capped grams while
+    *   sizes still include them — jaccard becomes a lower bound (documented
+    *   scale/exactness trade; leave 0 where oracle parity is required). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sh0 = docs.select(col("doc_id"), col("source"),
       explode(docShingles(docs, n)).as("gram"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sh =
+      if (maxDocFreq <= 0L) sh0
+      else {
+        val dfCnt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("gram"))
+        sh0.withColumn("__df", count(lit(1)).over(dfCnt))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
     val inter = sh.as("x").join(sh.as("y"),
         col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    // filter on the UNROUNDED ratio (round only in the projection): a pair
+    // with tiny-but-positive jaccard must survive minJaccard=0 exactly as in
+    // the oracle's `intersection > 0` predicate (inter >= 1 by construction,
+    // so the 0-threshold filter is vacuous — kept for minJaccard > 0)
+    val raw = col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))
+    val joined = inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")), 4))
-      .filter(col("jaccard") > minJaccard)
+    (if (minJaccard > 0.0) joined.filter(raw > minJaccard) else joined)
+      .withColumn("jaccard", round(raw, 4))
       .select("a", "b", "jaccard")
   }
 }

@@ -55,7 +55,10 @@ object SimOps {
       .select("vec_id", "rank", "neighbor_id")
   }
 
-  /** Deterministic hyperplane component for (plane, dim) — in [-1, 1). */
+  /** Deterministic hyperplane component for (plane, dim) — in [-1, 1].
+    * `Synth.mix` masks with `& Long.MaxValue`, so the quotient is in [0, 1]
+    * and the affine map lands in [-1, 1], unbiased (the oracle SQL embeds
+    * the same literal values, so both sides always agree by construction). */
   def planeComponent(seed: Long, plane: Int, dim: Int): Double =
     (graft.synth.Synth.mix(seed, plane.toLong, dim.toLong).toDouble /
       Long.MaxValue.toDouble) * 2.0 - 1.0

@@ -142,7 +142,9 @@ object Queries {
 
   /** A1–A3 on the real engine path: the salted two-phase politeness
     * scheduler over a documents-derived frontier must equal a plain per-host
-    * top-k (the oracle). */
+    * top-k (the oracle). Every host is declared mega so the oracle pins the
+    * SALTED path (phase 1 + phase 2), not the single-window shortcut; the
+    * flagged variant needs no persist (ADVICE round-1 leak fixed). */
   def scheduleTopK(s: SparkSession, dir: String): DataFrame = {
     val frontier = t(s, dir, "documents").select(
       concat(lit("https://"), col("source"), lit(".test/doc/"),
@@ -151,9 +153,12 @@ object Queries {
       lit(0).as("depth"),
       FrontierRound.prioChildUdf(lit(Array.emptyByteArray), col("doc_id").cast("int"))
         .as("priority"))
-    val (scheduled, _, _) = FrontierRound.schedule(frontier,
-      CrawlConfig(hostQuotaPerRound = 3, saltBuckets = 4))
-    scheduled.select(col("host").as("source"), col("url"))
+    val allHosts = t(s, dir, "documents").select(col("source"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    FrontierRound.scheduleFlagged(frontier,
+        CrawlConfig(hostQuotaPerRound = 3, saltBuckets = 4), megaHosts = allHosts)
+      .filter(col("is_scheduled"))
+      .select(col("host").as("source"), col("url"))
       .orderBy(col("source"), col("url"))
   }
 
@@ -314,7 +319,8 @@ object Queries {
   // ---------------- rows-only (not SQL-expressible in the oracle) ----------------
 
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    DedupOps.minhashNearDups(t(s, dir, "documents"), 4, 2, 0.7)
+    DedupOps.minhashNearDups(t(s, dir, "documents"), 4, 2, 0.7,
+        maxBucketSize = 4096) // live skew ceiling; no-op at test SF
       .orderBy(col("a"), col("b"))
 
   def embedLshTop1(s: SparkSession, dir: String): DataFrame =
@@ -343,8 +349,8 @@ object Queries {
         useBloomSeen = false))
     CrawlJob.orderedResults(results)
       .select(col("schedule_rank"), col("round"), col("url"), col("final_url"),
-        col("http_code"), col("crawl_status"), col("depth"), col("n_redirects"),
-        col("n_links"), col("text"))
+        col("http_code"), col("status_label"), col("crawl_status"), col("depth"),
+        col("n_redirects"), col("redirects"), col("n_links"), col("text"))
   }
 
   /** U1–U8 canonicalization + classification corpus (reference:

@@ -93,9 +93,25 @@ object Robots {
     best.map(_._2)
   }
 
+  /** Per-executor memoized parse: the reference parses robots.txt ONCE per
+    * host (robots_service.rs:55-110); evaluating rules per frontier row must
+    * not re-parse the body per row (billions of rows/round at scale). Keyed
+    * by body text (1:1 with host in practice); bounded — on overflow the
+    * cache drops whole (bodies are ~1 KB, re-parse is cheap and rare). */
+  private val MaxParsed = 4096
+  private val parsed = new java.util.concurrent.ConcurrentHashMap[String, Seq[Group]]()
+  def parseCached(body: String): Seq[Group] = {
+    val hit = parsed.get(body)
+    if (hit != null) hit
+    else {
+      if (parsed.size >= MaxParsed) parsed.clear()
+      parsed.computeIfAbsent(body, parse _)
+    }
+  }
+
   /** `*` / `$` wildcard path match, longest-match-wins, allow wins ties. */
   def allowedByRules(body: String, agent: String, url: String): Boolean = {
-    val groups = parse(body)
+    val groups = parseCached(body)
     selectGroup(groups, agent) match {
       case None => true
       case Some(g) =>

@@ -74,8 +74,23 @@ object Synth {
       sb ++= "</body></html>"
       val html = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val text = s"document text for ${host(h)} page $i :: ${mix(seed, 10, h, i)}"
+      // header/status variants (non-roots only, so seeds crawl normally):
+      // F9 — mixed-case keys the engine must lowercase; F5 — a
+      // cloudfront-cached 503 that still downloads, a plain 404 that must
+      // NOT download; F10 — non-2xx codes get labeled
+      val roll = if (i == 0) -1L else mix(seed, 20, h, i) % 11
+      val (status, headers): (Integer, Map[String, String]) =
+        if (roll == 5) (Int.box(503), Map(
+          "Content-Type" -> "text/html; charset=utf-8",
+          "X-Cache" -> "Error from cloudfront"))
+        else if (roll == 6) (Int.box(404), Map("Content-Type" -> "text/html"))
+        else if (roll == 7) (Int.box(200), Map(
+          "Content-Type" -> "text/html",
+          "X-Cache" -> "Hit from cloudfront", "X-Served-By" -> "cache-a"))
+        else (null, null)
       Page(pageUrl(h, i), new Timestamp(1600000000000L + mix(seed, 11, h, i) % 100000000L),
-        html, text, langs((mix(seed, 12, h, i) % langs.length).toInt))
+        html, text, langs((mix(seed, 12, h, i) % langs.length).toInt),
+        headers, status)
     }
 
     // subdomain pages exist too (DifferentSubDomain links are enqueueable)

@@ -64,6 +64,29 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(LinkExtract.dedupByUri(links).size == 20)
   }
 
+  test("reference 530-link golden fixture: 451 href + 79 (data-)src, sorted") {
+    // The reference's strongest extraction pin: a real-world 356 KB page must
+    // yield exactly 451 href + 79 (data-)?src = 530 links
+    // (reference: dom_parser/tests/dom_parser_it.rs:7-18, fixture
+    // dom_parser/tests/resources/example.com.html — read in place, not copied)
+    val fixture = java.nio.file.Paths.get(
+      "/root/reference/dom_parser/tests/resources/example.com.html")
+    assume(java.nio.file.Files.isReadable(fixture), "reference fixture not present")
+    val html = new String(java.nio.file.Files.readAllBytes(fixture),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val t0 = System.nanoTime()
+    val links = LinkExtract.extractLinks("https", "www.example.com", html)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(links.size == 530, s"total links (tag histogram: " +
+      s"${links.groupBy(_.sourceTag).view.mapValues(_.size).toMap})")
+    // sorted by uri (byte order), as the reference sorts before returning
+    assert(links.map(_.uri) == links.map(_.uri)
+      .sortWith((a, b) => LinkExtract.compareUtf8(a, b) < 0))
+    // O(n) scan guard: the 356 KB page with many <script> blocks must parse
+    // in single-digit ms, not the O(n²) seconds a per-block lowercase costs
+    assert(ms < 2000.0, s"extraction took ${ms}ms — scanner regressed to O(n^2)?")
+  }
+
   test("scope and protocol attached per link") {
     val html =
       """<a href="https://example.com/team">t</a>

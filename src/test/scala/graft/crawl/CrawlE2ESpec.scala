@@ -18,24 +18,32 @@ class CrawlE2ESpec extends AnyFunSuite {
     v.flatMap(i => Seq((i >>> 24) & 0xff, (i >>> 16) & 0xff, (i >>> 8) & 0xff, i & 0xff))
       .map(x => f"$x%02x").mkString
 
-  private type Row = (Int, String, String, String, Int, String, String, Int, String, Int, Int, String)
+  private type Row = (Int, String, String, String, Int, String, String, String,
+    Int, String, Int, String, Int, String)
+
+  private def chainStr(hops: Seq[(String, String, Int)]): String =
+    hops.map(h => s"${h._1}>${h._2}#${h._3}").mkString("|")
 
   private def sparkRows(results: org.apache.spark.sql.DataFrame): Seq[Row] =
     results.collect().map { r =>
+      val chain = Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("redirects"))
+        .map(hops => chainStr(hops.toSeq.map(h => (h.getString(0), h.getString(1), h.getInt(2)))))
       (r.getAs[Int]("round"), r.getAs[String]("url"), r.getAs[String]("raw_url"),
         Option(r.getAs[String]("final_url")).orNull, r.getAs[Int]("http_code"),
+        Option(r.getAs[String]("status_label")).orNull,
         Option(r.getAs[String]("content_type")).orNull, r.getAs[String]("crawl_status"),
         r.getAs[Int]("depth"), hex(r.getAs[Array[Byte]]("priority")),
-        r.getAs[Int]("n_redirects"), r.getAs[Int]("n_links"),
+        r.getAs[Int]("n_redirects"), chain.orNull, r.getAs[Int]("n_links"),
         Option(r.getAs[String]("text")).orNull)
-    }.toSeq.sortBy(r => (r._1, r._8, r._9, r._2))
+    }.toSeq.sortBy(r => (r._1, r._9, r._10, r._2))
 
   private def simRows(results: Seq[SimCrawler.SimResult]): Seq[Row] =
     results.map { r =>
       (r.round, r.url, r.rawUrl, r.finalUrl.orNull, r.httpCode,
+        r.statusLabel.orNull,
         r.contentType.orNull, r.status, r.depth, hex(r.priority),
-        r.nRedirects, r.nLinks, r.text.orNull)
-    }.sortBy(r => (r._1, r._8, r._9, r._2))
+        r.nRedirects, r.redirects.map(chainStr).orNull, r.nLinks, r.text.orNull)
+    }.sortBy(r => (r._1, r._9, r._10, r._2))
 
   private def runBoth(g: Synth.Graph, cfg: CrawlConfig, tag: String) = {
     val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
@@ -83,13 +91,51 @@ class CrawlE2ESpec extends AnyFunSuite {
     val oRows = simRows(sim.results)
     assert(sRows == oRows)
     // every status class appears (fixture designed to exercise them)
-    val statuses = sRows.map(_._7).toSet
+    val statuses = sRows.map(_._8).toSet
     assert(statuses.contains(CrawlStatus.Fetched))
     assert(statuses.contains(CrawlStatus.ConnectionError))
     assert(statuses.contains(CrawlStatus.RestrictedByRobotsTxt))
     assert(statuses.contains(CrawlStatus.MaximumCrawlDepthReached))
     // redirects followed somewhere
-    assert(sRows.exists(_._10 > 0))
+    assert(sRows.exists(_._11 > 0))
+  }
+
+  test("redirect chains, status labels, and the cloudfront download branch") {
+    val g = Synth.graph(seed = 7L, hosts = 5, pagesPerHost = 15)
+    val cfg = CrawlConfig(maxDepth = 4, hostQuotaPerRound = 2)
+    val (results, sim) = runBothInMemory(g, cfg)
+    val sRows = sparkRows(results)
+    assert(sRows == simRows(sim.results)) // chains + labels differentially pinned
+
+    // R1: a multi-hop chain is materialized per hop with statuses
+    val multiHop = sRows.filter(r => r._11 >= 2 && r._12 != null)
+    assert(multiHop.nonEmpty, "fixture must exercise a multi-hop redirect")
+    multiHop.foreach { r =>
+      val hops = r._12.split('|')
+      assert(hops.length == r._11, s"chain length must equal n_redirects: $r")
+      // each hop's destination is the next hop's source
+      hops.sliding(2).foreach {
+        case Array(a, b) => assert(a.split('>')(1).split('#')(0) == b.split('>')(0))
+        case _ =>
+      }
+      assert(r._4 == r._12.split('|').last.split('>')(1).split('#')(0),
+        "final_url = last hop destination")
+    }
+
+    // F10: every fetched row carries the canonical label
+    sRows.filter(_._8 == CrawlStatus.Fetched).foreach { r =>
+      assert(r._6 == StatusCodes.label(r._5), s"label mismatch: $r")
+    }
+    sRows.filter(_._5 == -1).foreach(r => assert(r._6 == null))
+
+    // F5: a cloudfront-cached 503 still downloads (n_links >= 0, text set);
+    // a plain non-2xx html page does not (n_links = -1, no text)
+    val cf503 = sRows.filter(r => r._5 == 503 && r._8 == CrawlStatus.Fetched)
+    assert(cf503.nonEmpty, "fixture must exercise the x-cache~cloudfront branch")
+    cf503.foreach { r => assert(r._13 >= 0 && r._14 != null, s"cloudfront 503 must download: $r") }
+    val plain404 = sRows.filter(r => r._5 == 404 && r._8 == CrawlStatus.Fetched)
+    assert(plain404.nonEmpty, "fixture must exercise a non-cloudfront 404")
+    plain404.foreach { r => assert(r._13 == -1 && r._14 == null, s"404 must not download: $r") }
   }
 
   /** Checkpoint-free differential run for pure output-parity tests (the
@@ -148,6 +194,27 @@ class CrawlE2ESpec extends AnyFunSuite {
 
     assert(resumed.rounds == full.rounds)
     assert(sparkRows(resumed.results) == sparkRows(full.results))
+  }
+
+  test("JSONL results export round-trips against the parquet results (S5)") {
+    val g = Synth.graph(seed = 42L, hosts = 2, pagesPerHost = 8)
+    val cfg = CrawlConfig(maxDepth = 2, hostQuotaPerRound = 4, exportJsonl = true)
+    val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
+    val dir = java.nio.file.Files.createTempDirectory("crawl-jsonl").toString
+    val job = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
+    val io = new graft.io.TableIO(spark, dir)
+    (0 until job.rounds).foreach { r =>
+      val pq = spark.read.parquet(s"$dir/results/round=$r")
+      if (pq.count() > 0) {
+        val js = io.readResultsJsonl(r)
+        assert(js.count() == pq.count(), s"round $r row count")
+        val pqSet = pq.select("url", "crawl_status", "http_code").collect()
+          .map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+        val jsSet = js.select("url", "crawl_status", "http_code").collect()
+          .map(x => (x.getString(0), x.getString(1), x.getLong(2).toInt)).toSet
+        assert(jsSet == pqSet, s"round $r rows")
+      }
+    }
   }
 
   test("maxDepth=0 quirk: unlimited crawlability but only seeds enqueue children") {

@@ -36,6 +36,27 @@ class SeenFilterSpec extends AnyFunSuite {
     probe.foreach { case (bkt, h) => assert(blooms.mightContain(bkt.toInt, h)) }
   }
 
+  test("dynamic sizing keeps fpp bounded as the seen set grows 100×") {
+    assert(SeenFilter.sizedFor(4096, 100) == 4096)
+    assert(SeenFilter.sizedFor(4096, 4097) == 8192)
+    assert(SeenFilter.sizedFor(4096, 409600) == 4096L * 128)
+    // saturation evidence: 100× the design load at FIXED width → fpp ≈ 1,
+    // silently degrading every candidate to the exact join; at the
+    // sizedFor-derived width the fpp stays at the design level
+    val base = 256L
+    val urls = (0 until 25600).map(i => s"https://h.test/p/$i").toDF("url")
+    val fixed = new SeenFilter.SeenBlooms(1, SeenFilter.buildBlooms(urls, 1, base))
+    val grown = new SeenFilter.SeenBlooms(1,
+      SeenFilter.buildBlooms(urls, 1, SeenFilter.sizedFor(base, 25600)))
+    val probes = (0 until 5000).map(i => s"https://other.test/x/$i").toDF("url")
+      .select(SeenFilter.bucketOf(col("url"), 1).as("b"), xxhash64(col("url")).as("h"))
+      .as[(Long, Long)].collect()
+    def fpp(b: SeenFilter.SeenBlooms): Double =
+      probes.count { case (bk, h) => b.mightContain(bk.toInt, h) }.toDouble / probes.length
+    assert(fpp(fixed) > 0.5, "fixed-width filter must be visibly saturated at 100× load")
+    assert(fpp(grown) < 0.05, "sizedFor-width filter must hold the design fpp")
+  }
+
   test("empty blooms pass everything straight through") {
     val cand = Seq("a", "b").toDF("url")
     val blooms = SeenFilter.broadcastBlooms(spark, 4, Map.empty)

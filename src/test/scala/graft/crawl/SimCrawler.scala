@@ -17,8 +17,10 @@ object SimCrawler {
       protocol: String, depth: Int, priority: Vector[Int])
 
   final case class SimResult(round: Int, url: String, rawUrl: String,
-      finalUrl: Option[String], httpCode: Int, contentType: Option[String],
+      finalUrl: Option[String], httpCode: Int, statusLabel: Option[String],
+      contentType: Option[String],
       status: String, depth: Int, priority: Vector[Int], nRedirects: Int,
+      redirects: Option[Seq[(String, String, Int)]],
       nLinks: Int, text: Option[String])
 
   final case class SimOutput(results: Seq[SimResult], seen: Set[String], rounds: Int)
@@ -63,22 +65,24 @@ object SimCrawler {
       scheduled.foreach { e =>
         if (!seen.contains(e.url)) { // round-start snapshot, silent skip
           if (cfg.maxDepth > 0 && e.depth >= cfg.maxDepth) {
-            results += SimResult(round, e.url, e.rawUrl, None, -1, None,
-              CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, -1, None)
+            results += SimResult(round, e.url, e.rawUrl, None, -1, None, None,
+              CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, None, -1, None)
             newSeen += e.url
           } else {
             val rob = robotsMap.get(e.host)
             val allowed = !cfg.respectRobots || rob.forall(r =>
               Robots.canAccess(r.disallowAll, r.allowAll, r.body, cfg.userAgent, e.url))
             if (!allowed) {
-              results += SimResult(round, e.url, e.rawUrl, None, -1, None,
-                CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, -1, None)
+              results += SimResult(round, e.url, e.rawUrl, None, -1, None, None,
+                CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, None, -1, None)
               newSeen += e.url
             } else {
-              // dynamic redirect walk (fetch_header_command.rs:31-69)
+              // dynamic redirect walk (fetch_header_command.rs:31-69),
+              // recording one hop per followed redirect (:73-90)
               var cur = e.url
               var n = 0
               var terminal3xx: Option[Int] = None
+              var chain = Vector.empty[(String, String, Int)]
               var walking = true
               while (walking) {
                 redirectMap.get(cur) match {
@@ -86,6 +90,7 @@ object SimCrawler {
                     val dest = UrlCanon.formFullUrl(
                       UrlCanon.protocolOf(cur).getOrElse("https"), r.location,
                       UrlCanon.hostOf(cur).getOrElse(""), Some(cur))
+                    chain :+= ((cur, dest, r.status))
                     cur = dest; n += 1
                   case Some(r) =>
                     terminal3xx = Some(r.status); walking = false
@@ -94,16 +99,27 @@ object SimCrawler {
               }
               val page = if (terminal3xx.isEmpty) pageMap.get(cur) else None
               if (terminal3xx.isEmpty && page.isEmpty) {
-                results += SimResult(round, e.url, e.rawUrl, None, -1, None,
-                  CrawlStatus.ConnectionError, e.depth, e.priority, 0, -1, None)
+                results += SimResult(round, e.url, e.rawUrl, None, -1, None, None,
+                  CrawlStatus.ConnectionError, e.depth, e.priority, 0, None, -1, None)
                 newSeen += e.url
               } else {
-                val code = terminal3xx.getOrElse(200)
+                // lowercased headers (F9) + per-page status, with the
+                // synthesized defaults for bare input_hint pages
+                val hdrs = page.flatMap(p => Option(p.headers))
+                  .map(_.map { case (k, v) => k.toLowerCase -> v })
+                  .getOrElse(Map.empty[String, String])
+                val pgStatus = page.flatMap(p => Option(p.http_status)).map(_.intValue).getOrElse(200)
+                val code = terminal3xx.getOrElse(pgStatus)
                 val contentType = terminal3xx match {
                   case Some(_) => None
-                  case None => Some(if (page.get.html != null) "text/html" else "application/octet-stream")
+                  case None => hdrs.get("content-type").orElse(
+                    Some(if (page.get.html != null) "text/html" else "application/octet-stream"))
                 }
-                val shouldDownload = terminal3xx.isEmpty && contentType.contains("text/html")
+                // should_download (F5): success OR cloudfront-cached, AND html
+                val shouldDownload = terminal3xx.isEmpty &&
+                  ((code >= 200 && code <= 299) ||
+                    hdrs.get("x-cache").exists(_.contains("cloudfront"))) &&
+                  contentType.exists(_.contains("text/html"))
                 var nLinks = -1
                 if (shouldDownload) {
                   val body = new String(page.get.html, java.nio.charset.StandardCharsets.UTF_8)
@@ -122,7 +138,9 @@ object SimCrawler {
                   }
                 }
                 results += SimResult(round, e.url, e.rawUrl, Some(cur), code,
-                  contentType, CrawlStatus.Fetched, e.depth, e.priority, n, nLinks,
+                  Some(StatusCodes.label(code)),
+                  contentType, CrawlStatus.Fetched, e.depth, e.priority, n,
+                  Some(chain), nLinks,
                   if (shouldDownload) Some(page.get.text) else None)
                 newSeen += e.url
                 newSeen += cur

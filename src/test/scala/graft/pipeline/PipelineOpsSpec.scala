@@ -82,6 +82,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     pairs.get((0L, 2L)).foreach(j => assert(j == 0.8333))
   }
 
+  test("minhash near-dup bucket ceiling bounds degenerate buckets") {
+    // 30 identical docs land in one band bucket → 435 candidate pairs; the
+    // ceiling must drop the degenerate bucket BEFORE the self-join
+    val dup = (0L until 30L).map(i => (i, "same same same text", "en", "srcA", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DedupOps.minhashNearDups(dup, 4, 2, 0.0).count() == 30L * 29 / 2)
+    assert(DedupOps.minhashNearDups(dup, 4, 2, 0.0, maxBucketSize = 8).count() == 0)
+    // non-degenerate pairs unaffected by an active ceiling
+    val mixed = DedupOps.minhashNearDups(docs, 4, 2, 0.5, maxBucketSize = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(mixed.get((0L, 1L)).contains(1.0))
+  }
+
+  test("ngram document-frequency ceiling drops boilerplate shingles") {
+    val n = 10
+    val boiler = (0L until n.toLong).map(i =>
+        (i, s"common boiler plate unique$i tail$i end$i", "en", "srcA", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // every doc shares exactly one gram ("common boiler plate") → all pairs
+    assert(DedupOps.ngramJaccardPairs(boiler, 3, 0.0).count() == n.toLong * (n - 1) / 2)
+    // DF ceiling below n removes the boilerplate gram → no pairs join
+    assert(DedupOps.ngramJaccardPairs(boiler, 3, 0.0, maxDocFreq = 5).count() == 0)
+    // uncapped pairs on ordinary docs are unchanged by a high ceiling
+    val a = DedupOps.ngramJaccardPairs(docs, 3, 0.0).collect().map(_.toSeq).toSet
+    val b = DedupOps.ngramJaccardPairs(docs, 3, 0.0, maxDocFreq = 100).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("simhash: 64 bits, equal for dups, unequal for different docs") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
