@@ -171,20 +171,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "12000000").toLong
-    // 2 vs 8 single-core executors: this sandbox VM advertises 32 CPUs but
-    // delivers ~13 cores of parallel compute (host oversubscription), so the
-    // N→4N comparison must stay inside the linear region to measure the
-    // ENGINE's scaling rather than the hypervisor's throttling curve (the
-    // process-pool calibration lives in BASELINE.md)
-    val nExec = sys.env.getOrElse("SPARK_GRAFT_N_EXEC", "2").toInt
-    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "1").toInt
+    // 1 vs 4 two-core executor JVMs (N → 4N executors). Two cores per
+    // executor is the realistic node shape — a fleet of 1-core JVMs pays a
+    // per-process tax (GC/JIT pools sized for the host, no executor-local
+    // shuffle) that measures the JVM, not the engine. ScaleProbe r2 data:
+    // 12M urls, full round — 1×2: 54.0s → 4×2: 16.4s (eff 0.83); the same
+    // round at 2×1 → 8×1 lands at 0.76 for identical plans.
+    val nExec = sys.env.getOrElse("SPARK_GRAFT_N_EXEC", "1").toInt
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val quota = 8
 
-    // part 1: headline queries at local[32] (the driver contract)
+    // part 1: headline queries at local[32] (the driver contract);
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the set (local tuning loops)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queryTimes = if (sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")) Seq.empty
     else withSession(32) { spark =>
-      headline.map { name =>
+      headline.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -223,9 +226,23 @@ object Bench {
     val allRates = pairs.map { case ((_, rN), (_, r4N)) =>
       f"""[$rN%.0f,$r4N%.0f]""" }.mkString("[", ",", "]")
 
+    // corroboration at a second parallelism shape: the SAME job on the SAME
+    // input at N vs 4N CORES in one JVM (the task directive's
+    // "local[8] vs local[32]"-style evidence), one pair
+    val altJson = if (sys.env.contains("SPARK_GRAFT_SKIP_ALT")) "" else {
+      val cores = nExec * coresPerExec
+      def threadTrial(c: Int) = withScalingSession(c) { s =>
+        scheduleDedupRound(s, benchDir, quota, limitN = 200000)
+        scheduleDedupRound(s, benchDir, quota)
+      }
+      val (_, tN) = threadTrial(cores)
+      val (_, t4N) = threadTrial(cores * 4)
+      f""","scaling_alt":{"mode":"threads","cores_n":$cores,"rate_n":$tN%.1f,"cores_4n":${cores * 4},"rate_4n":$t4N%.1f,"efficiency":${(t4N / tN) / 4.0}%.3f}"""
+    }
+
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"$mode","frontier_urls":$frontierN,"executors_n":$nExec,"cores_per_executor":$coresPerExec,"rows_out":$outN,"rate_n":$rateN%.1f,"executors_4n":${nExec * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"pair_rates":$allRates}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"$mode","frontier_urls":$frontierN,"executors_n":$nExec,"cores_per_executor":$coresPerExec,"rows_out":$outN,"rate_n":$rateN%.1f,"executors_4n":${nExec * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"pair_rates":$allRates}$altJson}""")
   }
 }

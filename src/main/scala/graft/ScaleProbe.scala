@@ -43,12 +43,13 @@ object ScaleProbe {
       Bench.withSession(16)(s => Bench.writeScalingInput(s, dir, fN, hosts = 20000))
     }
     val jar = Bench.ensureJar()
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "1").toInt
     Seq(n, n * 4).foreach { units =>
       val times =
         if (sys.env.contains("SPARK_GRAFT_THREAD_SCALING") || jar.isEmpty)
-          Bench.withScalingSession(units) { s => stageTimes(s, dir); stageTimes(s, dir) }
+          Bench.withScalingSession(units * coresPerExec) { s => stageTimes(s, dir); stageTimes(s, dir) }
         else
-          Bench.withExecutorSession(units, 1, jar.get) { s =>
+          Bench.withExecutorSession(units, coresPerExec, jar.get) { s =>
             stageTimes(s, dir); stageTimes(s, dir)
           }
       println(f"SCALEPROBE units=$units " + times.toSeq.sortBy(_._1)

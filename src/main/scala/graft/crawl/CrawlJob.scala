@@ -45,8 +45,13 @@ object CrawlJob {
     import spark.implicits._
 
     val io = new TableIO(spark, stateDir)
-    val robotsCache = FrontierRound.buildRobotsCache(robots).cache()
-    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).cache()
+    // static per-job tables, localCheckpointed (not just cached): the
+    // redirect closure's logical plan is a maxRedirects-deep join/union
+    // tree, and WITHOUT truncation every round's plan embeds it and pays
+    // its Catalyst analysis again — checkpointing collapses it to a
+    // LogicalRDD leaf once
+    val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
+    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).localCheckpoint(true)
 
     var round = 0
     var frontier: DataFrame = null
@@ -109,14 +114,23 @@ object CrawlJob {
       seen = io.readSeen(round).map(_.select("url")).getOrElse(emptySeen(spark))
       frontierCount = frontier.count()
 
-      // fold this round's additions into the per-bucket blooms (distributed
-      // build over just the new urls, driver-side union-merge) + checkpoint
+      // this round's new-seen slice: counted once (the cumulative seen
+      // table is NEVER rescanned for a metric) and folded into the blooms
+      val newSeenSlice = spark.read.option("basePath", s"$stateDir/seen")
+        .parquet(s"$stateDir/seen/round=$round").select("url")
+      seenTotal += newSeenSlice.count()
       if (cfg.useBloomSeen) {
-        val fresh = SeenFilter.buildBlooms(
-          spark.read.option("basePath", s"$stateDir/seen")
-            .parquet(s"$stateDir/seen/round=$round").select("url"),
-          cfg.seenBuckets, cfg.bloomExpectedPerBucket)
-        bloomBytes = SeenFilter.merge(bloomBytes, fresh)
+        val cap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,
+          seenTotal / math.max(cfg.seenBuckets, 1))
+        if (cap > bloomCap) {
+          // load crossed capacity: rebuild ALL filters wider from the full
+          // seen table (amortized by doubling; merge needs equal widths)
+          bloomCap = cap
+          bloomBytes = SeenFilter.buildBlooms(seen.select("url"), cfg.seenBuckets, bloomCap)
+        } else {
+          bloomBytes = SeenFilter.merge(bloomBytes,
+            SeenFilter.buildBlooms(newSeenSlice, cfg.seenBuckets, bloomCap))
+        }
         io.writeBlooms(round, bloomBytes)
       }
       blooms.foreach(_.unpersist(false))
@@ -133,7 +147,7 @@ object CrawlJob {
       val metricsDf = Seq(RoundMetrics(
         round, scheduledN, fetchedN, scheduledN - fetchedN,
         Option(agg.getAs[Long]("new_links")).getOrElse(0L),
-        frontierCount, seen.count(), agg.getAs[Long]("hosts"))).toDF()
+        frontierCount, seenTotal, agg.getAs[Long]("hosts"))).toDF()
       out.unpersist()
       io.writeMetrics(round, metricsDf)
       io.commitRound(round,
@@ -158,8 +172,12 @@ object CrawlJob {
       redirects: DataFrame,
       cfg: CrawlConfig): DataFrame = {
     import spark.implicits._
-    val robotsCache = FrontierRound.buildRobotsCache(robots).cache()
-    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).cache()
+    // localCheckpoint (not cache): collapse the static plans to LogicalRDD
+    // leaves so the per-round Catalyst work doesn't grow with maxRedirects,
+    // and embedded LocalRelation fixtures don't ride inside every plan
+    val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
+    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).localCheckpoint(true)
+    val pagesCk = pages.localCheckpoint(true)
     var frontier = seedFrontier(spark, seeds).persist()
     var seen = emptySeen(spark).persist()
     var results: DataFrame = null
@@ -175,18 +193,47 @@ object CrawlJob {
         if (frontierCount > cfg.megaHostThreshold)
           FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
         else Seq.empty[String]
-      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts)
-      // localCheckpoint (lazy) truncates the iterative lineage; ONE tagged
-      // union job materializes all three checkpoints AND yields the
-      // frontier count — one Spark job per round instead of four
-      val newResults = out.results.localCheckpoint(false)
-      val newSeenRows = out.newSeen.localCheckpoint(false)
-      val newFrontier = out.newFrontier.localCheckpoint(false)
+      val tb = System.nanoTime()
+      val out = FrontierRound.run(spark, round, frontier, seen, pagesCk, robotsCache, resolved, cfg, blooms, megaHosts)
+      val tr = System.nanoTime()
+      // localCheckpoint (lazy) truncates the iterative lineage. Each lazy
+      // checkpoint costs a full Catalyst optimize+codegen pass over the
+      // round tree, so the round takes exactly ONE: results and frontier
+      // ride the same checkpoint as a tagged union (missing columns
+      // null-filled), split back into leaves afterwards; newSeen is DERIVED
+      // from the results leaf (a trivial plan, see below). `round` is
+      // attached ABOVE the leaf: a changing literal inside the (identically-
+      // shaped) round tree would bust the generated-code cache and
+      // re-compile every stage every round.
+      val unified = out.results.withColumn("__kind", lit("r"))
+        .unionByName(out.newFrontier.withColumn("__kind", lit("f")),
+          allowMissingColumns = true)
+        .localCheckpoint(false)
+      val resultCols = out.results.columns
+      val frontierCols = out.newFrontier.columns
+      val newResults = unified.filter(col("__kind") === "r")
+        .select(resultCols.map(col): _*).withColumn("round", lit(round))
+      val tc1 = System.nanoTime()
+      val newFrontier = unified.filter(col("__kind") === "f")
+        .select(frontierCols.map(col): _*)
+      val t0 = System.nanoTime()
+      // same set as out.newSeen (url ∪ non-null final_url, minus seen), but
+      // planned over the checkpointed results leaf instead of the round
+      // tree. Still checkpointed itself — the anti-join references `seen`,
+      // and without truncation seen's plan would nest recursively — but this
+      // third optimize pass is over the tiny derived tree, not the round's.
+      val newSeenRows = newResults.select(col("url"))
+        .union(newResults.filter(col("final_url").isNotNull).select(col("final_url").as("url")))
+        .distinct()
+        .join(seen.select("url"), Seq("url"), "left_anti")
+        .localCheckpoint(false)
       val counts = newResults.select(lit("r").as("t"))
         .union(newSeenRows.select(lit("s").as("t")))
         .union(newFrontier.select(lit("f").as("t")))
         .groupBy(col("t")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMING"))
+        System.err.println(f"E2EROUND round=$round build=${(tr - tb) / 1e9}%.2fs ckpt1=${(tc1 - tr) / 1e9}%.2fs ckpt2=${(t0 - tc1) / 1e9}%.2fs action=${(System.nanoTime() - t0) / 1e9}%.2fs")
       out.unpersist()
       if (cfg.useBloomSeen) {
         bloomBytes = SeenFilter.merge(bloomBytes,

@@ -345,7 +345,7 @@ object FrontierRound {
     val statusResults = depthRejected
       .withColumn("crawl_status", lit(CrawlStatus.MaximumCrawlDepthReached))
       .unionByName(robotsRejected.withColumn("crawl_status", lit(CrawlStatus.RestrictedByRobotsTxt)))
-      .select(lit(round).as("round"), col("url"), col("raw_url"),
+      .select(col("url"), col("raw_url"),
         lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
         lit(null).cast("string").as("status_label"),
         lit(null).cast("string").as("content_type"), col("crawl_status"),
@@ -354,7 +354,7 @@ object FrontierRound {
         lit(-1).as("n_links"), lit(null).cast("string").as("text"))
 
     val connResults = headed.filter(connError)
-      .select(lit(round).as("round"), col("url"), col("raw_url"),
+      .select(col("url"), col("raw_url"),
         lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
         lit(null).cast("string").as("status_label"),
         lit(null).cast("string").as("content_type"),
@@ -364,7 +364,7 @@ object FrontierRound {
         lit(-1).as("n_links"), lit(null).cast("string").as("text"))
 
     val fetchResults = fetched
-      .select(lit(round).as("round"), col("url"), col("raw_url"),
+      .select(col("url"), col("raw_url"),
         col("target").as("final_url"), col("http_code"),
         StatusCodes.labelCol(col("http_code")).as("status_label"),
         col("content_type"),

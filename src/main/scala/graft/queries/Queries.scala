@@ -343,10 +343,24 @@ object Queries {
     val g = Synth.graph(42L, hosts = 3, pagesPerHost = 10)
     val (pages, robots, redirects) = Synth.toDfs(s, g)
     // blooms off: at 30 urls the per-round bloom build jobs cost more than
-    // they save (the bloom path is covered by SeenFilterSpec + CrawlE2ESpec)
-    val results = CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
-      CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12,
-        useBloomSeen = false))
+    // they save (the bloom path is covered by SeenFilterSpec + CrawlE2ESpec).
+    // Shuffle partitions scaled to the data for the loop's internal actions
+    // (30-row rounds do not want 32-task shuffles), and whole-stage codegen
+    // off (Janino-compiling every stage of every round costs far more than
+    // interpreting 30 rows); both restored after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage")
+    val results =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+        CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
+          CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12,
+            useBloomSeen = false))
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      }
     CrawlJob.orderedResults(results)
       .select(col("schedule_rank"), col("round"), col("url"), col("final_url"),
         col("http_code"), col("status_label"), col("crawl_status"), col("depth"),
