@@ -102,6 +102,84 @@ object SimOps {
       .select("vec_id", "rank", "neighbor_id")
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Deterministic unit-norm IVF centroid: splitmix64 per component
+    * (identical generator to [[planeComponent]] — callers must use a seed
+    * distinct from their LSH seed), then L2-normalized so argmax-dot equals
+    * argmax-cosine. Data-independent by design: no k-means training job, so
+    * at 100 TB the cell assignment stays a pure map-only projection and the
+    * oracle SQL can embed the identical literal values. */
+  def centroid(seed: Long, cell: Int, dims: Int): Array[Double] = {
+    val raw = Array.tabulate(dims)(d => planeComponent(seed, cell, d))
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  def centroids(seed: Long, kCells: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(kCells)(c => centroid(seed, c, dims))
+
+  /** One `(dot, -cell)` struct per centroid — max of these is "highest dot,
+    * ties → smallest cell id" under Spark's lexicographic struct ordering. */
+  private def cellPacked(cs: Array[Array[Double]]): Seq[Column] =
+    cs.indices.map { c =>
+      struct(dot(col("embedding"), array(cs(c).map(lit): _*)).as("d"),
+        lit(-c).as("nc"))
+    }
+
+  /** Hard cell assignment: argmax over centroid dot products, computed as
+    * ONE narrow projection (`greatest` over packed structs) — no join, no
+    * explode, nothing broadcast; survives any scale that can scan the
+    * embeddings. */
+  def ivfCell(embeddings: DataFrame, seed: Long, kCells: Int, dims: Int): DataFrame = {
+    require(kCells >= 2, "IVF needs at least 2 cells")
+    val best = greatest(cellPacked(centroids(seed, kCells, dims)): _*)
+    embeddings.withColumn("cell", (-best.getField("nc")).cast("int"))
+  }
+
+  /** Cell histogram — (cell, n_vectors, min_vec, max_vec). */
+  def ivfCellStats(embeddings: DataFrame, seed: Long, kCells: Int, dims: Int): DataFrame =
+    ivfCell(embeddings, seed, kCells, dims)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+
+  /** IVF approximate top-k: every vector is assigned to its nearest cell;
+    * each QUERY probes its `nprobe` nearest cells (the standard recall
+    * lever) and is ranked by exact cosine against the vectors assigned
+    * there. The probe fan-out multiplies query rows by `nprobe`, never
+    * candidates; the candidate join is keyed on the cell id, so the shuffle
+    * is by cell and no cross product materializes. `maxCellSize` is the
+    * skew ceiling (same rationale as DedupOps.minhashNearDups): a
+    * degenerate cell must not go quadratic, so oversized cells are dropped
+    * from BOTH sides (no-op at test scale, pinned by the oracle). */
+  def ivfTopK(embeddings: DataFrame, k: Int, seed: Long, kCells: Int, dims: Int,
+      nprobe: Int = 2, maxCellSize: Int = 1 << 20): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kCells)
+    val cs = centroids(seed, kCells, dims)
+    val assigned = ivfCell(withNorm(embeddings), seed, kCells, dims)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val oversized = assigned.groupBy(col("cell")).count()
+      .filter(col("count") > maxCellSize).select(col("cell"))
+    val base = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+    // top-nprobe probe cells: reverse(array_sort) over the packed structs is
+    // descending dot with ties → ascending cell, matching the assignment rule
+    val probeCells = transform(
+      slice(reverse(array_sort(array(cellPacked(cs): _*))), 1, nprobe),
+      p => (-p.getField("nc")).cast("int"))
+    val qside = base.drop("cell")
+      .withColumn("cell", explode(probeCells))
+    val pairs = qside.as("q").join(base.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
+        pairCos("q", "c").as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: (a, b) with cosine ≥ threshold,
     * candidate-limited to shared LSH buckets. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double, seed: Long,

@@ -293,16 +293,88 @@ object Queries {
     SimOps.lshBucketStats(t(s, dir, "embeddings"), lshSeed, lshPlanes, lshDims)
       .orderBy(col("bucket"))
 
-  val embedLshBucketsSql: String = {
+  /** Sign-bit expression identical to `SimOps.lshBucket` — the plane
+    * components are embedded as literals so both engines evaluate the same
+    * IEEE sequence (float→double promotion, in-order fold). */
+  private def lshBitsSql: String = {
     val ps = SimOps.planes(lshSeed, lshPlanes, lshDims)
-    val bits = (0 until lshPlanes).map { p =>
+    (0 until lshPlanes).map { p =>
       val arr = ps(p).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST($arr AS DOUBLE[])) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
-    s"""SELECT CAST($bits AS BIGINT) AS bucket, count(*) AS n_vectors,
+  }
+
+  val embedLshBucketsSql: String =
+    s"""SELECT CAST($lshBitsSql AS BIGINT) AS bucket, count(*) AS n_vectors,
        |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
-  }
+
+  /** Within-bucket exact top-1 — the oracle mirrors `SimOps.lshTopK`: same
+    * bucket bits, same (cosine DESC, neighbor_id) tie-break. Only the
+    * ORDERING of the cosine has to agree across engines (the value itself is
+    * never output), the same contract `q_embed_top1` already pins. */
+  val embedLshTop1Sql: String =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  CAST($lshBitsSql AS BIGINT) AS bucket FROM embeddings)
+       |SELECT vec_id, neighbor_id FROM (
+       |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rn
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  def embedLshTop1(s: SparkSession, dir: String): DataFrame =
+    SimOps.lshTopK(t(s, dir, "embeddings"), 1, lshSeed, lshPlanes, lshDims)
+      .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
+
+  // ---------------- IVF ANN ----------------
+
+  val ivfSeed = 7L
+  val ivfKCells = 16
+
+  private def ivfCentsSql: String =
+    SimOps.centroids(ivfSeed, ivfKCells, lshDims).zipWithIndex.map {
+      case (c, i) => s"($i, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString("VALUES ", ", ", "")
+
+  /** Shared oracle prelude: per-vector centroid ranking (dot DESC, cell) —
+    * rn=1 is the assignment, rn<=nprobe the probe set, matching
+    * `SimOps.ivfCell`'s (dot, -cell) struct-max exactly. */
+  private def ivfRankedCellsSql: String =
+    s"""WITH cents(cell, cv) AS ($ivfCentsSql),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |d AS (SELECT e.vec_id, c.cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY list_dot_product(e.emb, c.cv) DESC, c.cell) AS rn
+       |      FROM e CROSS JOIN cents c)""".stripMargin
+
+  def ivfCells(s: SparkSession, dir: String): DataFrame =
+    SimOps.ivfCellStats(t(s, dir, "embeddings"), ivfSeed, ivfKCells, lshDims)
+      .orderBy(col("cell"))
+
+  val ivfCellsSql: String =
+    s"""$ivfRankedCellsSql
+       |SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec,
+       |       max(vec_id) AS max_vec
+       |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin
+
+  def ivfTop1(s: SparkSession, dir: String): DataFrame =
+    SimOps.ivfTopK(t(s, dir, "embeddings"), 1, ivfSeed, ivfKCells, lshDims,
+        nprobe = 2)
+      .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
+
+  val ivfTop1Sql: String =
+    s"""$ivfRankedCellsSql,
+       |assign AS (SELECT vec_id, cell FROM d WHERE rn = 1),
+       |probes AS (SELECT vec_id, cell FROM d WHERE rn <= 2),
+       |ranked AS (
+       |  SELECT p.vec_id, a.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY list_cosine_similarity(qe.emb, ce.emb) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+       |  JOIN e qe ON qe.vec_id = p.vec_id
+       |  JOIN e ce ON ce.vec_id = a.vec_id)
+       |SELECT vec_id, neighbor_id FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---------------- multimodal plumbing ----------------
 
@@ -316,16 +388,39 @@ object Queries {
       |  CAST(floor((octet_length(encode(text)) + 255) / 256.0) AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
-  // ---------------- rows-only (not SQL-expressible in the oracle) ----------------
-
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     DedupOps.minhashNearDups(t(s, dir, "documents"), 4, 2, 0.7,
         maxBucketSize = 4096) // live skew ceiling; no-op at test SF
       .orderBy(col("a"), col("b"))
 
-  def embedLshTop1(s: SparkSession, dir: String): DataFrame =
-    SimOps.lshTopK(t(s, dir, "embeddings"), 1, lshSeed, lshPlanes, lshDims)
-      .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
+  /** Full shingle→minhash→band→bucket-join→exact-verify pipeline in one
+    * DuckDB statement: md5-min signatures and the rounded-then-thresholded
+    * jaccard mirror DedupOps exactly (the threshold compares the ROUNDED
+    * value on both sides). */
+  val minhashNearDupsSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, min(md5('0:' || tok)) AS mh0, min(md5('1:' || tok)) AS mh1,
+      |         min(md5('2:' || tok)) AS mh2, min(md5('3:' || tok)) AS mh3
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM documents) GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_sig FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_sig FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_sig = y.band_sig
+      |    AND x.doc_id < y.doc_id),
+      |tsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |          FROM documents)
+      |SELECT a, b, round(len(list_intersect(ta.ts, tb.ts))
+      |               / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jaccard
+      |FROM cand JOIN tsets ta ON ta.doc_id = a JOIN tsets tb ON tb.doc_id = b
+      |WHERE round(len(list_intersect(ta.ts, tb.ts))
+      |        / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.7
+      |ORDER BY a, b""".stripMargin
+
+  // ---------------- rows-only (not SQL-expressible in the oracle) ----------------
 
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(t(s, dir, "documents")).orderBy(col("doc_id"))
@@ -428,6 +523,8 @@ object Queries {
     "q_simhash" -> simhash _,
     "q_embed_top1" -> embedTop1 _,
     "q_embed_lsh_buckets" -> embedLshBuckets _,
+    "q_ivf_cells" -> ivfCells _,
+    "q_ivf_top1" -> ivfTop1 _,
     "q_media_stats" -> mediaStats _,
     "q_minhash_neardups" -> minhashNearDups _,
     "q_embed_lsh_top1" -> embedLshTop1 _,
@@ -457,5 +554,9 @@ object Queries {
     "q_simhash" -> simhashSql,
     "q_embed_top1" -> embedTop1Sql,
     "q_embed_lsh_buckets" -> embedLshBucketsSql,
+    "q_embed_lsh_top1" -> embedLshTop1Sql,
+    "q_minhash_neardups" -> minhashNearDupsSql,
+    "q_ivf_cells" -> ivfCellsSql,
+    "q_ivf_top1" -> ivfTop1Sql,
     "q_media_stats" -> mediaStatsSql)
 }

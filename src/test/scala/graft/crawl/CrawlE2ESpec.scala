@@ -147,6 +147,20 @@ class CrawlE2ESpec extends AnyFunSuite {
     (results, sim)
   }
 
+  test("differential fuzz: full row parity across fresh seeds and config shapes") {
+    val cases = Seq(
+      (101L, 3, 9, CrawlConfig(maxDepth = 2, hostQuotaPerRound = 3, maxRounds = 10, useBloomSeen = false)),
+      (202L, 4, 8, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 5, maxRounds = 12, useBloomSeen = true)),
+      (303L, 2, 14, CrawlConfig(maxDepth = 4, hostQuotaPerRound = 2, maxRounds = 16, useBloomSeen = false)),
+      (404L, 5, 7, CrawlConfig(maxDepth = 2, hostQuotaPerRound = 7, maxRounds = 8, useBloomSeen = true)),
+      (505L, 3, 11, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12, useBloomSeen = false)))
+    cases.foreach { case (seed, hosts, per, cfg) =>
+      val g = Synth.graph(seed, hosts, per)
+      val (results, sim) = runBothInMemory(g, cfg)
+      assert(sparkRows(results) == simRows(sim.results), s"seed=$seed hosts=$hosts per=$per")
+    }
+  }
+
   test("robots compliance: no fetch from a disallow_all host; rules enforced") {
     val g = Synth.graph(seed = 11L, hosts = 6, pagesPerHost = 10)
     val cfg = CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4)

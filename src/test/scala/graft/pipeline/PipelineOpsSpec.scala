@@ -160,6 +160,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     approx.foreach { case (q, n) => assert(bk(q) == bk(n)) }
   }
 
+  test("IVF cell assignment matches an independent scala-side argmax") {
+    val cs = SimOps.centroids(7L, 4, 3)
+    val assigned = SimOps.ivfCell(vecs, 7L, 4, 3).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val raw = vecs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    raw.foreach { case (id, emb) =>
+      val dots = cs.map(c => emb.indices.map(i => emb(i) * c(i)).sum)
+      val want = dots.indices.minBy(i => (-dots(i), i)) // max dot, tie → min cell
+      assert(assigned(id) == want, s"vec $id")
+    }
+  }
+
+  test("IVF top-k with full probe equals brute force; neighbors come from probed cells") {
+    // nprobe = kCells ⇒ every (query, candidate) pair is considered exactly
+    // once (candidates sit in their one assigned cell) ⇒ brute-force parity
+    val full = SimOps.ivfTopK(vecs, 1, 7L, 4, 3, nprobe = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = SimOps.cosineTopK(vecs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full == brute)
+    // nprobe = 2: any returned neighbor's assigned cell ∈ query's 2 nearest
+    val cs = SimOps.centroids(7L, 4, 3)
+    val raw = vecs.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def ranked(emb: Array[Float]) = cs.indices
+      .sortBy(i => (-cs(i).indices.map(d => emb(d) * cs(i)(d)).sum, i))
+    val assigned = SimOps.ivfCell(vecs, 7L, 4, 3).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    SimOps.ivfTopK(vecs, 1, 7L, 4, 3, nprobe = 2).collect().foreach { r =>
+      val probes = ranked(raw(r.getLong(0))).take(2).toSet
+      assert(probes.contains(assigned(r.getLong(2))))
+    }
+  }
+
+  test("IVF skew ceiling drops a degenerate cell from both sides") {
+    // 6 identical vectors all land in one cell; cap 4 ⇒ the cell is dropped
+    // and NO pairs form (the outlier vector is alone in its cell)
+    val degen = ((0L to 5L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0)) :+
+      ((9L, Array(-1.0f, -0.5f, 0.2f), 1))).toDF("vec_id", "embedding", "label")
+    val capped = SimOps.ivfTopK(degen, 1, 7L, 4, 3, nprobe = 1, maxCellSize = 4)
+    assert(capped.count() == 0)
+    val uncapped = SimOps.ivfTopK(degen, 1, 7L, 4, 3, nprobe = 1)
+    assert(uncapped.count() >= 6)
+  }
+
   test("cosine near-dups at high threshold keep only the close pairs") {
     val nd = SimOps.cosineNearDups(vecs, 0.99, 42L, 2, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
