@@ -420,7 +420,9 @@ object Queries {
       |        / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.7
       |ORDER BY a, b""".stripMargin
 
-  // ---------------- rows-only (not SQL-expressible in the oracle) ----------------
+  // ---------------- rows-only (not SQL-expressible in the oracle:
+  // langId/fingerprints are per-row Scala kernels, canon/extract are
+  // URL/HTML parsing, crawl_e2e is differentially tested) ----------------
 
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(t(s, dir, "documents")).orderBy(col("doc_id"))
@@ -431,6 +433,29 @@ object Queries {
   def mediaFrames(s: SparkSession, dir: String): DataFrame =
     MediaOps.frameFeatures(t(s, dir, "documents"))
       .orderBy(col("media_id"), col("frame_no"))
+
+  /** Byte-exact oracle for the stub decode: DuckDB lacks per-byte BLOB
+    * access, so bytes are recovered from `hex(encode(text))` two hex digits
+    * at a time — unsigned, like the Spark side's `b & 0xff` — then the
+    * per-256-byte-frame (min, max, sum%256, len) aggregates and the
+    * every-2nd-frame sample mirror MediaOps.frameFeatures exactly. */
+  val mediaFramesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      |                  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |           FROM documents),
+      |b AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS byte_no, h
+      |      FROM m),
+      |v AS (SELECT media_id, n_bytes, byte_no,
+      |        (instr('0123456789ABCDEF', substr(h, CAST(2*byte_no+1 AS INT), 1)) - 1) * 16
+      |        + (instr('0123456789ABCDEF', substr(h, CAST(2*byte_no+2 AS INT), 1)) - 1) AS val
+      |      FROM b),
+      |f AS (SELECT media_id, n_bytes, CAST(byte_no // 256 AS INT) AS frame_no,
+      |        CAST(min(val) AS INT) AS f_min, CAST(max(val) AS INT) AS f_max,
+      |        CAST(sum(val) % 256 AS INT) AS f_sum_mod,
+      |        CAST(count(*) AS INT) AS f_len
+      |      FROM v GROUP BY 1, 2, 3)
+      |SELECT media_id, n_bytes, frame_no, f_min, f_max, f_sum_mod, f_len
+      |FROM f WHERE frame_no % 2 = 0 ORDER BY media_id, frame_no""".stripMargin
 
   /** The flagship: a full depth-bounded crawl of the synthesized web
     * (pages/robots/redirects fixtures), returning the ordered results table. */
@@ -556,6 +581,7 @@ object Queries {
     "q_embed_lsh_buckets" -> embedLshBucketsSql,
     "q_embed_lsh_top1" -> embedLshTop1Sql,
     "q_minhash_neardups" -> minhashNearDupsSql,
+    "q_media_frames" -> mediaFramesSql,
     "q_ivf_cells" -> ivfCellsSql,
     "q_ivf_top1" -> ivfTop1Sql,
     "q_media_stats" -> mediaStatsSql)

@@ -64,4 +64,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowedByRules("", "tarantula", "https://x.com/a"))
     assert(Robots.allowedByRules("# nothing here", "tarantula", "https://x.com/a"))
   }
+
+  test("parseCached memoizes per body (micro-bench printed, not asserted)") {
+    val body =
+      """user-agent: *
+        |disallow: /private
+        |allow: /private/ok
+        |disallow: /*.pdf$
+        |disallow: /tmp/*
+        |allow: /tmp/keep
+        |user-agent: tarantula
+        |disallow: /internal
+        |allow: /internal/public
+        |""".stripMargin
+    // memoized result is the same object graph the plain parse produces
+    assert(Robots.parseCached(body) == Robots.parse(body))
+    assert(Robots.parseCached(body) eq Robots.parseCached(body)) // cache hit
+    val n = 200000
+    def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    time((1 to 1000).foreach(_ => Robots.allowedByRules(body, "tarantula", "https://x.com/a"))) // JIT warm
+    val tEval = time((1 to n).foreach(_ => Robots.allowedByRules(body, "tarantula", "https://x.com/internal/public/x")))
+    val tParse = time((1 to n).foreach(_ => Robots.parse(body)))
+    // rule evaluation (what runs per frontier row) vs a per-row re-parse
+    System.err.println(f"ROBOTSBENCH n=$n evalCached=${n / tEval}%.0f/s parseEveryRow=${n / (tParse + tEval)}%.0f/s parseCost=${tParse / (tParse + tEval) * 100}%.0f%%")
+  }
 }
