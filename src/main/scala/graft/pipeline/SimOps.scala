@@ -180,6 +180,33 @@ object SimOps {
       .select("vec_id", "rank", "neighbor_id")
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each QUERY also probes
+    * the `nPlanes` buckets at Hamming distance 1 (one sign bit flipped) —
+    * the standard recall fix for vectors near a hyperplane. Candidates stay
+    * keyed by their one home bucket, so the join remains a bucket join; the
+    * probe explode multiplies only the query side by `nPlanes + 1`. A
+    * (query, candidate) pair can meet in at most one probe bucket (the
+    * candidate has one home bucket), so no dedup is needed. */
+  def lshTopKMultiProbe(embeddings: DataFrame, k: Int, seed: Long, nPlanes: Int,
+      dims: Int): DataFrame = {
+    val home = lshBucket(withNorm(embeddings), seed, nPlanes, dims)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val probeBuckets = array(
+      col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val qside = home.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(probeBuckets).as("bucket"))
+    val pairs = qside.as("q").join(home.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
+        pairCos("q", "c").as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: (a, b) with cosine ≥ threshold,
     * candidate-limited to shared LSH buckets. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double, seed: Long,

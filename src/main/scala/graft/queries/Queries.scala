@@ -327,6 +327,31 @@ object Queries {
     SimOps.lshTopK(t(s, dir, "embeddings"), 1, lshSeed, lshPlanes, lshDims)
       .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
 
+  def embedMpLshTop1(s: SparkSession, dir: String): DataFrame =
+    SimOps.lshTopKMultiProbe(t(s, dir, "embeddings"), 1, lshSeed, lshPlanes, lshDims)
+      .select(col("vec_id"), col("neighbor_id")).orderBy(col("vec_id"))
+
+  /** Multi-probe oracle: the probe set (home bucket + each 1-bit flip) is a
+    * UNION ALL; candidates keep their home bucket, exactly as in
+    * `SimOps.lshTopKMultiProbe`. */
+  val embedMpLshTop1Sql: String = {
+    val flips = (0 until lshPlanes)
+      .map(p => s"UNION ALL SELECT vec_id, xor(bucket, ${1L << p}) AS bucket FROM b")
+      .mkString("\n")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  CAST($lshBitsSql AS BIGINT) AS bucket FROM embeddings),
+       |probes AS (SELECT vec_id, bucket FROM b
+       |$flips)
+       |SELECT vec_id, neighbor_id FROM (
+       |  SELECT p.vec_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY list_cosine_similarity(qe.e, c.e) DESC, c.vec_id) AS rn
+       |  FROM probes p
+       |  JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+       |  JOIN b qe ON qe.vec_id = p.vec_id)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // ---------------- IVF ANN ----------------
 
   val ivfSeed = 7L
@@ -550,6 +575,7 @@ object Queries {
     "q_embed_lsh_buckets" -> embedLshBuckets _,
     "q_ivf_cells" -> ivfCells _,
     "q_ivf_top1" -> ivfTop1 _,
+    "q_embed_mplsh_top1" -> embedMpLshTop1 _,
     "q_media_stats" -> mediaStats _,
     "q_minhash_neardups" -> minhashNearDups _,
     "q_embed_lsh_top1" -> embedLshTop1 _,
@@ -584,5 +610,6 @@ object Queries {
     "q_media_frames" -> mediaFramesSql,
     "q_ivf_cells" -> ivfCellsSql,
     "q_ivf_top1" -> ivfTop1Sql,
+    "q_embed_mplsh_top1" -> embedMpLshTop1Sql,
     "q_media_stats" -> mediaStatsSql)
 }

@@ -53,6 +53,18 @@ object CrawlStream {
         })
   }
 
+  /** Streaming exact content-dedup for a documents stream — the streaming
+    * face of [[graft.pipeline.DedupOps.exactDedup]] (same md5(text) key),
+    * for ingest-time curation. `dropDuplicatesWithinWatermark` keeps the
+    * state store BOUNDED: at corpus ingest rates an unbounded dedup state
+    * is an executor OOM, so keys age out past the watermark horizon —
+    * trading cross-horizon duplicates (caught later by the exhaustive batch
+    * exactDedup) for bounded state. Input needs (doc_id, text, ts). */
+  def dedupedDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_md5", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Per-host politeness ledger: fetches per host per 1-second event-time
     * window, 10-second watermark for late captures. */
   def hostRates(pages: DataFrame): DataFrame =

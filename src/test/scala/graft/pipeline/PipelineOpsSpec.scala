@@ -194,6 +194,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH: candidate set contains single-probe's; probes are Hamming-1") {
+    val single = SimOps.lshTopK(vecs, 1, 42L, 4, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val multi = SimOps.lshTopKMultiProbe(vecs, 1, 42L, 4, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every query answered by single-probe is answered by multi-probe (its
+    // candidate set is a superset), and with a >= cosine neighbor
+    val brute = SimOps.cosineTopK(vecs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    single.keys.foreach(q => assert(multi.contains(q)))
+    assert(multi.size >= single.size)
+    // any multi-probe neighbor shares the query's bucket up to 1 flipped bit
+    val bk = SimOps.lshBucket(vecs, 42L, 4, 3).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    multi.foreach { case (q, n) =>
+      val ham = java.lang.Long.bitCount(bk(q) ^ bk(n))
+      assert(ham <= 1, s"q=$q n=$n hamming=$ham")
+    }
+    // recall against brute force can only improve
+    val recS = single.count { case (q, n) => brute(q) == n }
+    val recM = multi.count { case (q, n) => brute(q) == n }
+    assert(recM >= recS)
+  }
+
   test("IVF skew ceiling drops a degenerate cell from both sides") {
     // 6 identical vectors all land in one cell; cap 4 ⇒ the cell is dropped
     // and NO pairs form (the outlier vector is alone in its cell)

@@ -70,4 +70,28 @@ class CrawlStreamSpec extends AnyFunSuite {
       assert(rows.map(_._1).toSet.contains("host0.test"))
     } finally q.stop()
   }
+
+  test("streaming content-dedup passes first occurrence per md5, bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = CrawlStream.dedupedDocs(docs, "10 minutes").writeStream
+      .format("memory").queryName("deduped_docs")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cs-ckpt3").toString)
+      .start()
+    try {
+      val t0 = 1700000000000L
+      def ts(deltaSec: Long) = new java.sql.Timestamp(t0 + deltaSec * 1000)
+      input.addData((0L, "alpha text", ts(0)), (1L, "beta text", ts(1)),
+        (2L, "alpha text", ts(2))) // same content as doc 0 → dropped
+      q.processAllAvailable()
+      input.addData((3L, "alpha text", ts(3)), (4L, "gamma text", ts(4)))
+      q.processAllAvailable()
+      val ids = spark.table("deduped_docs").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(0L) && ids.contains(1L) && ids.contains(4L))
+      assert(!ids.contains(2L) && !ids.contains(3L), s"duplicates must drop: $ids")
+    } finally q.stop()
+  }
 }
