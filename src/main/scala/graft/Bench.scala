@@ -225,10 +225,14 @@ object Bench {
     //  - trials run as INTERLEAVED (N, 4N) pairs — adjacent runs share
     //    host weather — and the reported efficiency is the MEDIAN over
     //    pair-wise efficiencies.
-    val sizeMarker = java.nio.file.Paths.get(s"$benchDir/frontier_n_$frontierN")
-    if (!java.nio.file.Files.exists(sizeMarker)) {
+    // single marker whose CONTENT is the size — per-size marker files would
+    // go stale when the dir is overwritten at a different N
+    val sizeMarker = java.nio.file.Paths.get(s"$benchDir/frontier_n")
+    val current = if (java.nio.file.Files.exists(sizeMarker))
+      java.nio.file.Files.readString(sizeMarker).trim else ""
+    if (current != frontierN.toString) {
       withSession(32)(s => writeScalingInput(s, benchDir, frontierN, hosts = 20000))
-      java.nio.file.Files.createFile(sizeMarker)
+      java.nio.file.Files.writeString(sizeMarker, frontierN.toString)
     }
 
     // JIT warm-up sized per core: both levels warm equally per executor
@@ -250,8 +254,10 @@ object Bench {
     val pairs = (1 to trials).map { _ =>
       (threadTrial(threadCores), threadTrial(threadCores * 4))
     }
+    // median pair; on an even count take the LOWER middle (conservative,
+    // never reports the optimistic half)
     val byEff = pairs.sortBy { case ((_, rN), (_, r4N)) => r4N / rN }
-    val ((outN, rateN), (out4N, rate4N)) = byEff(byEff.size / 2)
+    val ((outN, rateN), (out4N, rate4N)) = byEff((byEff.size - 1) / 2)
     val eff = (rate4N / rateN) / 4.0
     val allRates = pairs.map { case ((_, rN), (_, r4N)) =>
       f"""[$rN%.0f,$r4N%.0f]""" }.mkString("[", ",", "]")
@@ -272,7 +278,7 @@ object Bench {
       }
       val ePairs = (1 to execTrials).map(_ => (execTrial(nExec), execTrial(nExec * 4)))
       val eByEff = ePairs.sortBy { case ((_, rN), (_, r4N)) => r4N / rN }
-      val ((_, erN), (_, er4N)) = eByEff(eByEff.size / 2)
+      val ((_, erN), (_, er4N)) = eByEff((eByEff.size - 1) / 2)
       val eRates = ePairs.map { case ((_, rN), (_, r4N)) =>
         f"""[$rN%.0f,$r4N%.0f]""" }.mkString("[", ",", "]")
       f""","scaling_exec":{"mode":"executors","executors_n":$nExec,"cores_per_executor":$coresPerExec,"rate_n":$erN%.1f,"executors_4n":${nExec * 4},"rate_4n":$er4N%.1f,"efficiency":${(er4N / erN) / 4.0}%.3f,"pair_rates":$eRates}"""

@@ -16,7 +16,8 @@ object E2EProbe {
     spark.sparkContext.setLogLevel("WARN")
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val n = queries.Queries.crawlE2E(spark, "/root/testdata/sf0.1").count()
+      val n = queries.Queries.crawlE2E(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).count()
       System.err.println(f"E2ETOTAL pass=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()

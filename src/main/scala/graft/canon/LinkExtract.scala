@@ -71,16 +71,27 @@ object LinkExtract {
           var j = lt + 1
           while (j < n && (body.charAt(j).isLetterOrDigit || body.charAt(j) == '-' || body.charAt(j) == ':')) j += 1
           val tag = body.substring(lt + 1, j).toLowerCase
+          // html5ever applies "adjust foreign attributes" to the <svg>/<math>
+          // start tag token ITSELF, not just to its descendants
+          val inForeign = foreignDepth > 0 || tag == "svg" || tag == "math"
           // parse attributes until '>' (respecting quotes)
           var firstLink: Option[String] = null.asInstanceOf[Option[String]]
           firstLink = None
           val seenAttrs = scala.collection.mutable.HashSet.empty[String]
           var done = false
+          // set when the char immediately before '>' is a STANDALONE solidus
+          // (tokenizer self-closing-start-tag state); a '/' inside an
+          // unquoted attribute value is value text, not a self-close marker
+          var selfClosing = false
           while (!done && j < n) {
             // skip whitespace and '/'
-            while (j < n && (body.charAt(j).isWhitespace || body.charAt(j) == '/')) j += 1
+            while (j < n && (body.charAt(j).isWhitespace || body.charAt(j) == '/')) {
+              selfClosing = body.charAt(j) == '/'
+              j += 1
+            }
             if (j >= n || body.charAt(j) == '>') { done = true }
             else {
+              selfClosing = false
               // attribute name
               val nameStart = j
               while (j < n && !body.charAt(j).isWhitespace && body.charAt(j) != '=' &&
@@ -103,8 +114,9 @@ object LinkExtract {
                 }
               }
               if (name.nonEmpty && seenAttrs.add(name)) {
-                // foreign-attribute adjustment: xlink:href → href inside svg/math
-                val effName = if (foreignDepth > 0 && name == "xlink:href") "href" else name
+                // foreign-attribute adjustment: xlink:href → href on and
+                // inside svg/math
+                val effName = if (inForeign && name == "xlink:href") "href" else name
                 if (firstLink.isEmpty && linkAttrs.contains(effName)) firstLink = Some(value)
               }
             }
@@ -112,8 +124,7 @@ object LinkExtract {
           // html5ever honors the self-closing solidus only for FOREIGN
           // elements; HTML elements ignore it (a non-void HTML element
           // still wraps content)
-          val selfClosing = j < n && j > lt + 1 && body.charAt(j - 1) == '/'
-          if ((tag == "svg" || tag == "math") && !selfClosing) foreignDepth += 1
+          if ((tag == "svg" || tag == "math") && !(selfClosing && j < n)) foreignDepth += 1
           i = if (j < n) j + 1 else n
           firstLink.foreach { raw =>
             out += ExtractedLink(

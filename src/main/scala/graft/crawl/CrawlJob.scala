@@ -115,9 +115,17 @@ object CrawlJob {
       frontierCount = frontier.count()
 
       // this round's new-seen slice: counted once (the cumulative seen
-      // table is NEVER rescanned for a metric) and folded into the blooms
-      val newSeenSlice = spark.read.option("basePath", s"$stateDir/seen")
-        .parquet(s"$stateDir/seen/round=$round").select("url")
+      // table is NEVER rescanned for a metric) and folded into the blooms.
+      // A round CAN produce zero new-seen rows (every scheduled url became
+      // seen mid-round, e.g. as another url's redirect target); partitionBy
+      // then writes no part files and reading the dir would fail schema
+      // inference — guard on the bucket dirs existing.
+      val roundSeenDir = new java.io.File(s"$stateDir/seen/round=$round")
+      val newSeenSlice =
+        if (Option(roundSeenDir.listFiles).exists(_.exists(_.getName.startsWith("bucket="))))
+          spark.read.option("basePath", s"$stateDir/seen")
+            .parquet(s"$stateDir/seen/round=$round").select("url")
+        else emptySeen(spark)
       seenTotal += newSeenSlice.count()
       if (cfg.useBloomSeen) {
         val cap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,

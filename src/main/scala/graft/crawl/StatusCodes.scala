@@ -60,8 +60,11 @@ object StatusCodes {
   private lazy val mapCol: Column = typedlit(labels)
 
   /** Label column for a code column; null when `code` < 0 (no HTTP exchange
-    * happened — status/connection-error rows carry no label). */
+    * happened — status/connection-error rows carry no label). Any
+    * non-negative code labels exactly like [[label]] — including sub-100
+    * oddballs, which map to [[Unknown]], matching the reference's
+    * `map_status_code` fall-through (and the SimCrawler oracle). */
   def labelCol(code: Column): Column =
-    when(code >= 100, coalesce(element_at(mapCol, code), lit(Unknown)))
+    when(code >= 0, coalesce(element_at(mapCol, code), lit(Unknown)))
       .otherwise(lit(null).cast("string"))
 }

@@ -74,11 +74,13 @@ object DedupOps {
     // turns the bucket self-join quadratic — count(bucket)² pairs. Buckets
     // over maxBucketSize are dropped BEFORE the join (their members are
     // exact-duplicate-shaped and belong to exactDedup, not near-dup pairing).
-    // One cheap window count; the join input stays bounded per bucket.
-    val bandCnt = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_sig"))
-    val bands = bands0.withColumn("__bn", count(lit(1)).over(bandCnt))
-      .filter(col("__bn") <= maxBucketSize).drop("__bn")
+    // groupBy + broadcast anti-join, NOT a window: a count window partitioned
+    // by the bucket key would funnel the very bucket it defends against into
+    // one sort task, while groupBy partial-aggregates it map-side; the
+    // oversized-key set is tiny by construction (≤ rows/maxBucketSize keys).
+    val oversized = bands0.groupBy(col("band"), col("band_sig")).count()
+      .filter(col("count") > maxBucketSize).select(col("band"), col("band_sig"))
+    val bands = bands0.join(broadcast(oversized), Seq("band", "band_sig"), "left_anti")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -173,10 +175,11 @@ object DedupOps {
     val sh =
       if (maxDocFreq <= 0L) sh0
       else {
-        val dfCnt = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"), col("gram"))
-        sh0.withColumn("__df", count(lit(1)).over(dfCnt))
-          .filter(col("__df") <= maxDocFreq).drop("__df")
+        // groupBy + broadcast anti-join, not a window, for the same
+        // skew-safety reason as minhashNearDups' bucket ceiling
+        val common = sh0.groupBy(col("source"), col("gram")).count()
+          .filter(col("count") > maxDocFreq).select(col("source"), col("gram"))
+        sh0.join(broadcast(common), Seq("source", "gram"), "left_anti")
       }
     val inter = sh.as("x").join(sh.as("y"),
         col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&

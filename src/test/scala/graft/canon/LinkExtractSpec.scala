@@ -49,6 +49,19 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(uris("""<a href="/first" href="/second">x</a>""") == Seq("/first"))
   }
 
+  test("foreign-content edges: xlink:href on the svg start tag; unquoted value ending in '/'") {
+    // "adjust foreign attributes" applies to the <svg> token itself
+    assert(uris("""<svg xlink:href="/x.svg"></svg>""") == Seq("/x.svg"))
+    // a '/' inside an unquoted value is VALUE text, not a self-close marker:
+    // the svg stays open and the inner xlink:href adjusts
+    assert(uris("""<svg width=10/><use xlink:href="/icon"/></svg>""").contains("/icon"))
+    // a genuinely self-closing <svg/> does NOT enter foreign content, so a
+    // following xlink:href is a namespaced attribute html treats as unknown
+    assert(!uris("""<svg/><use xlink:href="/no"/>""").contains("/no"))
+    // outside foreign content xlink:href never links
+    assert(uris("""<a xlink:href="/nope">x</a>""") == Seq())
+  }
+
   test("golden count fixture: exact href + src + data-src counts, sorted") {
     // 12 href + 5 src + 3 data-src = 20 links, with 2 duplicate uris
     val hrefs = (1 to 12).map(i => f"""<a href="/p$i%02d">l</a>""").mkString
