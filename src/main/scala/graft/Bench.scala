@@ -192,6 +192,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queryTimes = if (sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")) Seq.empty
     else withSession(32) { spark =>
+      // one-time session warm-up (executor pool, codegen pipeline, parquet
+      // footer reads) so the FIRST query's time is the query, not boot
+      spark.range(1L << 20).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(1000).collect()
       headline.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
