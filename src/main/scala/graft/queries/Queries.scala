@@ -352,6 +352,21 @@ object Queries {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    SimOps.cosineNearDups(t(s, dir, "embeddings"), 0.25, lshSeed, lshPlanes, lshDims)
+      .select(col("a"), col("b")).orderBy(col("a"), col("b"))
+
+  /** Pairs only (no cosine value in the output): both engines compute the
+    * same double cosine, but only its ≥-threshold DECISION must agree —
+    * the same cross-engine contract `q_embed_top1` pins for ordering. */
+  val cosineNearDupPairsSql: String =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  CAST($lshBitsSql AS BIGINT) AS bucket FROM embeddings)
+       |SELECT x.vec_id AS a, y.vec_id AS b
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE list_cosine_similarity(x.e, y.e) >= 0.25
+       |ORDER BY a, b""".stripMargin
+
   // ---------------- IVF ANN ----------------
 
   val ivfSeed = 7L
@@ -576,6 +591,7 @@ object Queries {
     "q_ivf_cells" -> ivfCells _,
     "q_ivf_top1" -> ivfTop1 _,
     "q_embed_mplsh_top1" -> embedMpLshTop1 _,
+    "q_cosine_neardups" -> cosineNearDupPairs _,
     "q_media_stats" -> mediaStats _,
     "q_minhash_neardups" -> minhashNearDups _,
     "q_embed_lsh_top1" -> embedLshTop1 _,
@@ -611,5 +627,6 @@ object Queries {
     "q_ivf_cells" -> ivfCellsSql,
     "q_ivf_top1" -> ivfTop1Sql,
     "q_embed_mplsh_top1" -> embedMpLshTop1Sql,
+    "q_cosine_neardups" -> cosineNearDupPairsSql,
     "q_media_stats" -> mediaStatsSql)
 }
