@@ -234,7 +234,8 @@ object Bench {
     val sizeMarker = java.nio.file.Paths.get(s"$benchDir/frontier_n")
     val current = if (java.nio.file.Files.exists(sizeMarker))
       java.nio.file.Files.readString(sizeMarker).trim else ""
-    if (current != frontierN.toString) {
+    if (current != frontierN.toString ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$benchDir/frontier"))) {
       withSession(32)(s => writeScalingInput(s, benchDir, frontierN, hosts = 20000))
       java.nio.file.Files.writeString(sizeMarker, frontierN.toString)
     }

@@ -135,8 +135,10 @@ object LinkExtract {
           }
           // skip raw-text / RCDATA content up to the matching close tag
           // (case-insensitive in-place scan — never copies the body; a page
-          // with many <script> blocks must stay O(n), not O(n * blocks))
-          if (rawText.contains(tag)) {
+          // with many <script> blocks must stay O(n), not O(n * blocks)).
+          // NOT inside foreign content: html5ever never switches to RAWTEXT
+          // there — <svg><title> children are ordinary foreign markup
+          if (foreignDepth == 0 && rawText.contains(tag)) {
             val close = indexOfCloseTag(body, tag, i)
             if (close < 0) i = n
             else {
@@ -154,14 +156,19 @@ object LinkExtract {
   }
 
   /** Case-insensitive scan for `</tag` starting at `from`; -1 if absent.
-    * `tag` must already be lowercase. */
+    * `tag` must already be lowercase. An "appropriate end tag" must be
+    * FOLLOWED by whitespace, '/', or '>' (tokenizer script-data-end-tag-name
+    * state) — `</scripty>` does not terminate a `<script>` block. */
   private def indexOfCloseTag(body: String, tag: String, from: Int): Int = {
     val n = body.length
     val m = tag.length
     var i = from
-    while (i + m + 2 <= n) {
+    while (i + m + 2 < n) {
       if (body.charAt(i) == '<' && body.charAt(i + 1) == '/' &&
-          body.regionMatches(true, i + 2, tag, 0, m)) return i
+          body.regionMatches(true, i + 2, tag, 0, m)) {
+        val d = body.charAt(i + 2 + m)
+        if (d.isWhitespace || d == '/' || d == '>') return i
+      }
       i += 1
     }
     -1

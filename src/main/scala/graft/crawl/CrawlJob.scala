@@ -225,15 +225,13 @@ object CrawlJob {
       val newFrontier = unified.filter(col("__kind") === "f")
         .select(frontierCols.map(col): _*)
       val t0 = System.nanoTime()
-      // same set as out.newSeen (url ∪ non-null final_url, minus seen), but
-      // planned over the checkpointed results leaf instead of the round
-      // tree. Still checkpointed itself — the anti-join references `seen`,
-      // and without truncation seen's plan would nest recursively — but this
-      // third optimize pass is over the tiny derived tree, not the round's.
-      val newSeenRows = newResults.select(col("url"))
-        .union(newResults.filter(col("final_url").isNotNull).select(col("final_url").as("url")))
-        .distinct()
-        .join(seen.select("url"), Seq("url"), "left_anti")
+      // same set as out.newSeen (the ONE rule lives in
+      // FrontierRound.newSeenOf), but planned over the checkpointed results
+      // leaf instead of the round tree. Still checkpointed itself — the
+      // anti-join references `seen`, and without truncation seen's plan
+      // would nest recursively — but this third optimize pass is over the
+      // tiny derived tree, not the round's.
+      val newSeenRows = FrontierRound.newSeenOf(newResults, seen)
         .localCheckpoint(false)
       val counts = newResults.select(lit("r").as("t"))
         .union(newSeenRows.select(lit("s").as("t")))

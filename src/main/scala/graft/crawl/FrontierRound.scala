@@ -167,6 +167,19 @@ object FrontierRound {
     * caller may also feed stale/raw counts (e.g. last round's metrics).
     * The collect is tiny: hosts with > threshold pending are rare by
     * construction at any scale. */
+  /** Seen-set delta for a batch of result rows: every emitted result's
+    * requested url + every successful fetch's final url enter the seen set
+    * (page_loader_service.rs:192-201 — status rows included, because
+    * consume_crawl_result runs for them too), minus already-seen. The ONE
+    * definition of the seen-update rule — both the persistent loop
+    * ([[graft.crawl.CrawlJob.run]] via RoundOutput) and the in-memory loop
+    * (which re-plans it over a checkpointed results leaf) use it. */
+  def newSeenOf(results: DataFrame, seen: DataFrame): DataFrame =
+    results.select(col("url"))
+      .union(results.filter(col("final_url").isNotNull).select(col("final_url").as("url")))
+      .distinct()
+      .join(seen.select("url"), Seq("url"), "left_anti")
+
   def findMegaHosts(frontier: DataFrame, threshold: Long): Seq[String] =
     frontier.groupBy(col("host")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > threshold)
@@ -315,8 +328,14 @@ object FrontierRound {
       .withColumn("http_code", when(col("is_redirect_terminal"), col("terminal_status")).otherwise(col("pg_status")))
       .withColumn("content_type",
         when(col("is_redirect_terminal"), lit(null).cast("string"))
-          .otherwise(coalesce(element_at(col("pg_headers"), "content-type"),
-            when(col("pg_has_html"), lit("text/html")).otherwise(lit("application/octet-stream")))))
+          // the synthesized default applies ONLY to bare 5-column input
+          // (headers column null): the reference's is_html REQUIRES the
+          // content-type key when headers exist (page_crawl_command.rs:
+          // 163-166) — a present-but-keyless map means NOT html
+          .otherwise(when(col("pg_headers").isNotNull,
+              element_at(col("pg_headers"), "content-type"))
+            .otherwise(when(col("pg_has_html"), lit("text/html"))
+              .otherwise(lit("application/octet-stream")))))
       .withColumn("should_download",
         col("is_redirect_terminal") === false &&
           (col("http_code").between(200, 299) ||
@@ -379,13 +398,7 @@ object FrontierRound {
     val results = statusResults.unionByName(connResults).unionByName(fetchResults)
 
     // ---------- seen update ----------
-    // every emitted result's requested url + every successful fetch's final
-    // url enter the seen set (page_loader_service.rs:192-201 — status rows
-    // included, because consume_crawl_result runs for them too)
-    val newSeen = results.select(col("url"))
-      .union(results.filter(col("final_url").isNotNull).select(col("final_url").as("url")))
-      .distinct()
-      .join(seen.select("url"), Seq("url"), "left_anti")
+    val newSeen = newSeenOf(results, seen)
 
     // ---------- children → next frontier ----------
     // enqueue gate: parent depth <= maxDepth (page_loader_service.rs:142 —

@@ -19,8 +19,9 @@ object StatusCodes {
   /** IANA reason phrases as hyper publishes them (public registry). */
   val labels: Map[Int, String] = Map(
     100 -> "Continue", 101 -> "Switching Protocols", 102 -> "Processing",
+    103 -> "Early Hints",
     200 -> "OK", 201 -> "Created", 202 -> "Accepted",
-    203 -> "Non Authoritative Information", 204 -> "No Content",
+    203 -> "Non-Authoritative Information", 204 -> "No Content",
     205 -> "Reset Content", 206 -> "Partial Content", 207 -> "Multi-Status",
     208 -> "Already Reported", 226 -> "IM Used",
     300 -> "Multiple Choices", 301 -> "Moved Permanently", 302 -> "Found",
@@ -35,7 +36,8 @@ object StatusCodes {
     415 -> "Unsupported Media Type", 416 -> "Range Not Satisfiable",
     417 -> "Expectation Failed", 418 -> "I'm a teapot",
     421 -> "Misdirected Request", 422 -> "Unprocessable Entity",
-    423 -> "Locked", 424 -> "Failed Dependency", 426 -> "Upgrade Required",
+    423 -> "Locked", 424 -> "Failed Dependency", 425 -> "Too Early",
+    426 -> "Upgrade Required",
     428 -> "Precondition Required", 429 -> "Too Many Requests",
     431 -> "Request Header Fields Too Large",
     451 -> "Unavailable For Legal Reasons",

@@ -87,6 +87,9 @@ object Synth {
         else if (roll == 7) (Int.box(200), Map(
           "Content-Type" -> "text/html",
           "X-Cache" -> "Hit from cloudfront", "X-Served-By" -> "cache-a"))
+        // headers present but NO content-type: reference is_html requires
+        // the key, so this page must NOT download despite its 200 + html
+        else if (roll == 8) (Int.box(200), Map("X-Served-By" -> "cache-b"))
         else (null, null)
       Page(pageUrl(h, i), new Timestamp(1600000000000L + mix(seed, 11, h, i) % 100000000L),
         html, text, langs((mix(seed, 12, h, i) % langs.length).toInt),

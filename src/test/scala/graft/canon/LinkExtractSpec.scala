@@ -62,6 +62,18 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(uris("""<a xlink:href="/nope">x</a>""") == Seq())
   }
 
+  test("rawtext parity: no RAWTEXT inside foreign content; close tag needs a delimiter") {
+    // html5ever never switches to RAWTEXT in foreign content — <svg><title>
+    // children are markup, so the anchor is extracted
+    assert(uris("""<svg><title><a href="/x">t</a></title></svg>""") == Seq("/x"))
+    // </scripty> is NOT an appropriate end tag: the script stays raw text
+    // through it, so the quoted anchor is never tokenized
+    assert(uris("""<script>var s = "</scripty><a href='/fake'>";</script><a href="/real">x</a>""")
+      == Seq("/real"))
+    // a close tag with attributes still closes (delimiter = whitespace)
+    assert(uris("""<script>x</script foo="bar"><a href="/after">x</a>""") == Seq("/after"))
+  }
+
   test("golden count fixture: exact href + src + data-src counts, sorted") {
     // 12 href + 5 src + 3 data-src = 20 links, with 2 duplicate uris
     val hrefs = (1 to 12).map(i => f"""<a href="/p$i%02d">l</a>""").mkString

@@ -136,6 +136,17 @@ class CrawlE2ESpec extends AnyFunSuite {
     val plain404 = sRows.filter(r => r._5 == 404 && r._8 == CrawlStatus.Fetched)
     assert(plain404.nonEmpty, "fixture must exercise a non-cloudfront 404")
     plain404.foreach { r => assert(r._13 == -1 && r._14 == null, s"404 must not download: $r") }
+
+    // F5/F6: a headers map WITHOUT content-type is NOT html (the reference's
+    // is_html requires the key when headers exist) — no download despite 200
+    val noCt = g.pages.filter(p => p.headers != null &&
+      !p.headers.keys.exists(_.equalsIgnoreCase("content-type"))).map(_.url).toSet
+    assert(noCt.nonEmpty, "fixture must include a headers-without-content-type page")
+    val noCtRows = sRows.filter(r => noCt.contains(r._2) && r._8 == CrawlStatus.Fetched)
+    assert(noCtRows.nonEmpty, "a headers-without-content-type page must get crawled")
+    noCtRows.foreach { r =>
+      assert(r._13 == -1 && r._14 == null, s"keyless-headers page must not download: $r")
+    }
   }
 
   /** Checkpoint-free differential run for pure output-parity tests (the

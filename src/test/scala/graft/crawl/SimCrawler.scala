@@ -112,8 +112,12 @@ object SimCrawler {
                 val code = terminal3xx.getOrElse(pgStatus)
                 val contentType = terminal3xx match {
                   case Some(_) => None
-                  case None => hdrs.get("content-type").orElse(
-                    Some(if (page.get.html != null) "text/html" else "application/octet-stream"))
+                  // synthesized default only when the fixture has NO headers
+                  // map at all; a present map without content-type is not
+                  // html (reference is_html requires the key)
+                  case None if page.exists(_.headers != null) => hdrs.get("content-type")
+                  case None => Some(
+                    if (page.get.html != null) "text/html" else "application/octet-stream")
                 }
                 // should_download (F5): success OR cloudfront-cached, AND html
                 val shouldDownload = terminal3xx.isEmpty &&

@@ -22,5 +22,9 @@ class StatusCodesSpec extends AnyFunSuite {
     }
     assert(StatusCodes.label(99) == StatusCodes.Unknown)
     assert(StatusCodes.label(523) == "[CLOUDFLARE] Origin Is Unreachable")
+    // hyper/http-0.2.5 canonical_reason parity spot-checks
+    assert(StatusCodes.label(203) == "Non-Authoritative Information")
+    assert(StatusCodes.label(425) == "Too Early")
+    assert(StatusCodes.label(103) == "Early Hints")
   }
 }
