@@ -148,7 +148,10 @@ object CrawlJob {
         count(lit(1)).as("scheduled"),
         sum(when(col("crawl_status") === CrawlStatus.Fetched, 1L).otherwise(0L)).as("fetched"),
         sum(when(col("n_links") >= 0, col("n_links").cast("long")).otherwise(0L)).as("new_links"),
-        countDistinct(FrontierRound.hostOfUdf(col("url"))).as("hosts")
+        // plain column aggregate — host is carried on every ResultRow from
+        // the frontier entry; re-deriving it per row with a UDF is the
+        // UDF-where-a-column-exists anti-pattern the north rule bans
+        countDistinct(col("host")).as("hosts")
       ).collect()(0)
       val scheduledN = agg.getAs[Long]("scheduled")
       val fetchedN = Option(agg.getAs[Long]("fetched")).getOrElse(0L)

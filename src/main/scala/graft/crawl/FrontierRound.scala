@@ -161,12 +161,6 @@ object FrontierRound {
 
   private val prioOrder: Seq[Column] = Seq(col("depth"), col("priority"), col("url"))
 
-  /** Hosts whose pending count exceeds the salting threshold — the ONLY
-    * hosts routed through the two-phase salted top-k. Mega-ness is a pure
-    * performance heuristic (any choice yields the same exact top-k), so the
-    * caller may also feed stale/raw counts (e.g. last round's metrics).
-    * The collect is tiny: hosts with > threshold pending are rare by
-    * construction at any scale. */
   /** Seen-set delta for a batch of result rows: every emitted result's
     * requested url + every successful fetch's final url enter the seen set
     * (page_loader_service.rs:192-201 — status rows included, because
@@ -180,6 +174,12 @@ object FrontierRound {
       .distinct()
       .join(seen.select("url"), Seq("url"), "left_anti")
 
+  /** Hosts whose pending count exceeds the salting threshold — the ONLY
+    * hosts routed through the two-phase salted top-k. Mega-ness is a pure
+    * performance heuristic (any choice yields the same exact top-k), so the
+    * caller may also feed stale/raw counts (e.g. last round's metrics).
+    * The collect is tiny: hosts with > threshold pending are rare by
+    * construction at any scale. */
   def findMegaHosts(frontier: DataFrame, threshold: Long): Seq[String] =
     frontier.groupBy(col("host")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > threshold)
@@ -326,16 +326,19 @@ object FrontierRound {
     //    serves a body) AND content-type contains text/html (F5+F6)
     val fetchedCols = headed.filter(headOk)
       .withColumn("http_code", when(col("is_redirect_terminal"), col("terminal_status")).otherwise(col("pg_status")))
-      .withColumn("content_type",
-        when(col("is_redirect_terminal"), lit(null).cast("string"))
-          // the synthesized default applies ONLY to bare 5-column input
-          // (headers column null): the reference's is_html REQUIRES the
-          // content-type key when headers exist (page_crawl_command.rs:
-          // 163-166) — a present-but-keyless map means NOT html
-          .otherwise(when(col("pg_headers").isNotNull,
-              element_at(col("pg_headers"), "content-type"))
-            .otherwise(when(col("pg_has_html"), lit("text/html"))
-              .otherwise(lit("application/octet-stream")))))
+      // the final response's header map (keys already lowercased in
+      // pagesMeta — F9). The synthesized single-entry default applies ONLY
+      // to bare 5-column input (headers column null): the reference's
+      // is_html REQUIRES the content-type key when headers exist
+      // (page_crawl_command.rs:163-166) — a present-but-keyless map means
+      // NOT html. A budget-terminal 3xx has no final response → null map.
+      .withColumn("resp_headers",
+        when(col("is_redirect_terminal"), lit(null).cast("map<string,string>"))
+          .otherwise(when(col("pg_headers").isNotNull, col("pg_headers"))
+            .otherwise(map(lit("content-type"),
+              when(col("pg_has_html"), lit("text/html"))
+                .otherwise(lit("application/octet-stream"))))))
+      .withColumn("content_type", element_at(col("resp_headers"), "content-type"))
       .withColumn("should_download",
         col("is_redirect_terminal") === false &&
           (col("http_code").between(200, 299) ||
@@ -360,33 +363,37 @@ object FrontierRound {
     // ---------- results ----------
     val chainType = "array<struct<source:string,destination:string,status:int>>"
     val nullChain = lit(null).cast(chainType)
+    val nullHeaders = lit(null).cast("map<string,string>")
 
     val statusResults = depthRejected
       .withColumn("crawl_status", lit(CrawlStatus.MaximumCrawlDepthReached))
       .unionByName(robotsRejected.withColumn("crawl_status", lit(CrawlStatus.RestrictedByRobotsTxt)))
-      .select(col("url"), col("raw_url"),
+      .select(col("url"), col("raw_url"), col("host"),
         lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
         lit(null).cast("string").as("status_label"),
-        lit(null).cast("string").as("content_type"), col("crawl_status"),
+        lit(null).cast("string").as("content_type"),
+        nullHeaders.as("headers"), col("crawl_status"),
         col("depth"), col("priority"), lit(0).as("n_redirects"),
         nullChain.as("redirects"),
         lit(-1).as("n_links"), lit(null).cast("string").as("text"))
 
     val connResults = headed.filter(connError)
-      .select(col("url"), col("raw_url"),
+      .select(col("url"), col("raw_url"), col("host"),
         lit(null).cast("string").as("final_url"), lit(-1).as("http_code"),
         lit(null).cast("string").as("status_label"),
         lit(null).cast("string").as("content_type"),
+        nullHeaders.as("headers"),
         lit(CrawlStatus.ConnectionError).as("crawl_status"),
         col("depth"), col("priority"), lit(0).as("n_redirects"),
         nullChain.as("redirects"),
         lit(-1).as("n_links"), lit(null).cast("string").as("text"))
 
     val fetchResults = fetched
-      .select(col("url"), col("raw_url"),
+      .select(col("url"), col("raw_url"), col("host"),
         col("target").as("final_url"), col("http_code"),
         StatusCodes.labelCol(col("http_code")).as("status_label"),
         col("content_type"),
+        col("resp_headers").as("headers"),
         lit(CrawlStatus.Fetched).as("crawl_status"),
         col("depth"), col("priority"), col("n_redirects"),
         // a successful HEAD always carries a (possibly empty) chain

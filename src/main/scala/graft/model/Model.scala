@@ -90,10 +90,18 @@ final case class ResultRow(
     round: Int,
     url: String,
     raw_url: String,
+    host: String,               // carried from the frontier entry (never
+                                // re-derived downstream — metrics aggregate
+                                // this column, not a UDF over url)
     final_url: String,          // null unless fetch succeeded
     http_code: Int,             // -1 when no HTTP exchange happened
     status_label: String,       // F10 canonical label; null when code = -1
     content_type: String,
+    headers: Map[String, String], // full response headers, keys lowercased
+                                // (PageResponse parity, head_response.rs:9-17);
+                                // null when no final response body/head exists
+                                // (status rows, connection errors, budget-
+                                // terminal 3xx)
     crawl_status: String,       // "Fetched" | "ConnectionError" |
                                 // "RestrictedByRobotsTxt" | "MaximumCrawlDepthReached"
     depth: Int,

@@ -521,10 +521,18 @@ object Queries {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
       }
+    // driver-output rule: every column SCALAR — the driver harness
+    // canonicalizes with a pandas sort that cannot hash array/map/binary
+    // cells (the r2 q_crawl_e2e crash), so the typed `redirects` chain and
+    // `headers` map are serialized to JSON strings here and only here
+    // (ResultRow/parquet keep the typed columns; `priority` stays dropped)
     CrawlJob.orderedResults(results)
-      .select(col("schedule_rank"), col("round"), col("url"), col("final_url"),
-        col("http_code"), col("status_label"), col("crawl_status"), col("depth"),
-        col("n_redirects"), col("redirects"), col("n_links"), col("text"))
+      .select(col("schedule_rank"), col("round"), col("url"), col("host"),
+        col("final_url"), col("http_code"), col("status_label"),
+        col("crawl_status"), col("depth"), col("n_redirects"),
+        to_json(col("redirects")).as("redirects"),
+        to_json(col("headers")).as("headers"),
+        col("n_links"), col("text"))
   }
 
   /** U1–U8 canonicalization + classification corpus (reference:

@@ -18,32 +18,40 @@ class CrawlE2ESpec extends AnyFunSuite {
     v.flatMap(i => Seq((i >>> 24) & 0xff, (i >>> 16) & 0xff, (i >>> 8) & 0xff, i & 0xff))
       .map(x => f"$x%02x").mkString
 
-  private type Row = (Int, String, String, String, Int, String, String, String,
-    Int, String, Int, String, Int, String)
+  private type Row = (Int, String, String, String, String, Int, String, String,
+    String, String, Int, String, Int, String, Int, String)
 
   private def chainStr(hops: Seq[(String, String, Int)]): String =
     hops.map(h => s"${h._1}>${h._2}#${h._3}").mkString("|")
+
+  // canonical scalar render of a headers map (sorted keys) for comparison
+  private def hdrStr(m: collection.Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
 
   private def sparkRows(results: org.apache.spark.sql.DataFrame): Seq[Row] =
     results.collect().map { r =>
       val chain = Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("redirects"))
         .map(hops => chainStr(hops.toSeq.map(h => (h.getString(0), h.getString(1), h.getInt(2)))))
       (r.getAs[Int]("round"), r.getAs[String]("url"), r.getAs[String]("raw_url"),
+        r.getAs[String]("host"),
         Option(r.getAs[String]("final_url")).orNull, r.getAs[Int]("http_code"),
         Option(r.getAs[String]("status_label")).orNull,
-        Option(r.getAs[String]("content_type")).orNull, r.getAs[String]("crawl_status"),
+        Option(r.getAs[String]("content_type")).orNull,
+        Option(r.getAs[collection.Map[String, String]]("headers")).map(hdrStr).orNull,
+        r.getAs[String]("crawl_status"),
         r.getAs[Int]("depth"), hex(r.getAs[Array[Byte]]("priority")),
         r.getAs[Int]("n_redirects"), chain.orNull, r.getAs[Int]("n_links"),
         Option(r.getAs[String]("text")).orNull)
-    }.toSeq.sortBy(r => (r._1, r._9, r._10, r._2))
+    }.toSeq.sortBy(r => (r._1, r._11, r._12, r._2))
 
   private def simRows(results: Seq[SimCrawler.SimResult]): Seq[Row] =
     results.map { r =>
-      (r.round, r.url, r.rawUrl, r.finalUrl.orNull, r.httpCode,
+      (r.round, r.url, r.rawUrl, r.host, r.finalUrl.orNull, r.httpCode,
         r.statusLabel.orNull,
-        r.contentType.orNull, r.status, r.depth, hex(r.priority),
+        r.contentType.orNull, r.headers.map(hdrStr).orNull,
+        r.status, r.depth, hex(r.priority),
         r.nRedirects, r.redirects.map(chainStr).orNull, r.nLinks, r.text.orNull)
-    }.sortBy(r => (r._1, r._9, r._10, r._2))
+    }.sortBy(r => (r._1, r._11, r._12, r._2))
 
   private def runBoth(g: Synth.Graph, cfg: CrawlConfig, tag: String) = {
     val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
@@ -91,13 +99,13 @@ class CrawlE2ESpec extends AnyFunSuite {
     val oRows = simRows(sim.results)
     assert(sRows == oRows)
     // every status class appears (fixture designed to exercise them)
-    val statuses = sRows.map(_._8).toSet
+    val statuses = sRows.map(_._10).toSet
     assert(statuses.contains(CrawlStatus.Fetched))
     assert(statuses.contains(CrawlStatus.ConnectionError))
     assert(statuses.contains(CrawlStatus.RestrictedByRobotsTxt))
     assert(statuses.contains(CrawlStatus.MaximumCrawlDepthReached))
     // redirects followed somewhere
-    assert(sRows.exists(_._11 > 0))
+    assert(sRows.exists(_._13 > 0))
   }
 
   test("redirect chains, status labels, and the cloudfront download branch") {
@@ -108,44 +116,56 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(sRows == simRows(sim.results)) // chains + labels differentially pinned
 
     // R1: a multi-hop chain is materialized per hop with statuses
-    val multiHop = sRows.filter(r => r._11 >= 2 && r._12 != null)
+    val multiHop = sRows.filter(r => r._13 >= 2 && r._14 != null)
     assert(multiHop.nonEmpty, "fixture must exercise a multi-hop redirect")
     multiHop.foreach { r =>
-      val hops = r._12.split('|')
-      assert(hops.length == r._11, s"chain length must equal n_redirects: $r")
+      val hops = r._14.split('|')
+      assert(hops.length == r._13, s"chain length must equal n_redirects: $r")
       // each hop's destination is the next hop's source
       hops.sliding(2).foreach {
         case Array(a, b) => assert(a.split('>')(1).split('#')(0) == b.split('>')(0))
         case _ =>
       }
-      assert(r._4 == r._12.split('|').last.split('>')(1).split('#')(0),
+      assert(r._5 == r._14.split('|').last.split('>')(1).split('#')(0),
         "final_url = last hop destination")
     }
 
     // F10: every fetched row carries the canonical label
-    sRows.filter(_._8 == CrawlStatus.Fetched).foreach { r =>
-      assert(r._6 == StatusCodes.label(r._5), s"label mismatch: $r")
+    sRows.filter(_._10 == CrawlStatus.Fetched).foreach { r =>
+      assert(r._7 == StatusCodes.label(r._6), s"label mismatch: $r")
     }
-    sRows.filter(_._5 == -1).foreach(r => assert(r._6 == null))
+    sRows.filter(_._6 == -1).foreach(r => assert(r._7 == null))
 
     // F5: a cloudfront-cached 503 still downloads (n_links >= 0, text set);
     // a plain non-2xx html page does not (n_links = -1, no text)
-    val cf503 = sRows.filter(r => r._5 == 503 && r._8 == CrawlStatus.Fetched)
+    val cf503 = sRows.filter(r => r._6 == 503 && r._10 == CrawlStatus.Fetched)
     assert(cf503.nonEmpty, "fixture must exercise the x-cache~cloudfront branch")
-    cf503.foreach { r => assert(r._13 >= 0 && r._14 != null, s"cloudfront 503 must download: $r") }
-    val plain404 = sRows.filter(r => r._5 == 404 && r._8 == CrawlStatus.Fetched)
+    cf503.foreach { r => assert(r._15 >= 0 && r._16 != null, s"cloudfront 503 must download: $r") }
+    // the full header map rides the result row, keys LOWERCASED (F9 +
+    // PageResponse parity): the cloudfront fixture writes mixed-case keys
+    cf503.foreach { r =>
+      assert(r._9 == "content-type=text/html; charset=utf-8;x-cache=Error from cloudfront",
+        s"lowercased full headers expected on fetched row: $r")
+    }
+    val plain404 = sRows.filter(r => r._6 == 404 && r._10 == CrawlStatus.Fetched)
     assert(plain404.nonEmpty, "fixture must exercise a non-cloudfront 404")
-    plain404.foreach { r => assert(r._13 == -1 && r._14 == null, s"404 must not download: $r") }
+    plain404.foreach { r => assert(r._15 == -1 && r._16 == null, s"404 must not download: $r") }
+    // bare input_hint pages (no headers column content) get the synthesized
+    // single-entry map; status rows carry no headers at all
+    assert(sRows.exists(r => r._10 == CrawlStatus.Fetched && r._9 == "content-type=text/html"))
+    sRows.filter(r => r._10 != CrawlStatus.Fetched).foreach(r => assert(r._9 == null))
 
     // F5/F6: a headers map WITHOUT content-type is NOT html (the reference's
     // is_html requires the key when headers exist) — no download despite 200
     val noCt = g.pages.filter(p => p.headers != null &&
       !p.headers.keys.exists(_.equalsIgnoreCase("content-type"))).map(_.url).toSet
     assert(noCt.nonEmpty, "fixture must include a headers-without-content-type page")
-    val noCtRows = sRows.filter(r => noCt.contains(r._2) && r._8 == CrawlStatus.Fetched)
+    val noCtRows = sRows.filter(r => noCt.contains(r._2) && r._10 == CrawlStatus.Fetched)
     assert(noCtRows.nonEmpty, "a headers-without-content-type page must get crawled")
     noCtRows.foreach { r =>
-      assert(r._13 == -1 && r._14 == null, s"keyless-headers page must not download: $r")
+      assert(r._15 == -1 && r._16 == null, s"keyless-headers page must not download: $r")
+      assert(r._9 != null && !r._9.contains("content-type"),
+        s"keyless headers map must ride the row as-is: $r")
     }
   }
 

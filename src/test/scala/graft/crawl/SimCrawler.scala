@@ -17,8 +17,10 @@ object SimCrawler {
       protocol: String, depth: Int, priority: Vector[Int])
 
   final case class SimResult(round: Int, url: String, rawUrl: String,
+      host: String,
       finalUrl: Option[String], httpCode: Int, statusLabel: Option[String],
       contentType: Option[String],
+      headers: Option[Map[String, String]],
       status: String, depth: Int, priority: Vector[Int], nRedirects: Int,
       redirects: Option[Seq[(String, String, Int)]],
       nLinks: Int, text: Option[String])
@@ -65,16 +67,16 @@ object SimCrawler {
       scheduled.foreach { e =>
         if (!seen.contains(e.url)) { // round-start snapshot, silent skip
           if (cfg.maxDepth > 0 && e.depth >= cfg.maxDepth) {
-            results += SimResult(round, e.url, e.rawUrl, None, -1, None, None,
-              CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, None, -1, None)
+            results += SimResult(round, e.url, e.rawUrl, e.host, None, -1, None, None,
+              None, CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, None, -1, None)
             newSeen += e.url
           } else {
             val rob = robotsMap.get(e.host)
             val allowed = !cfg.respectRobots || rob.forall(r =>
               Robots.canAccess(r.disallowAll, r.allowAll, r.body, cfg.userAgent, e.url))
             if (!allowed) {
-              results += SimResult(round, e.url, e.rawUrl, None, -1, None, None,
-                CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, None, -1, None)
+              results += SimResult(round, e.url, e.rawUrl, e.host, None, -1, None, None,
+                None, CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, None, -1, None)
               newSeen += e.url
             } else {
               // dynamic redirect walk (fetch_header_command.rs:31-69),
@@ -99,8 +101,8 @@ object SimCrawler {
               }
               val page = if (terminal3xx.isEmpty) pageMap.get(cur) else None
               if (terminal3xx.isEmpty && page.isEmpty) {
-                results += SimResult(round, e.url, e.rawUrl, None, -1, None, None,
-                  CrawlStatus.ConnectionError, e.depth, e.priority, 0, None, -1, None)
+                results += SimResult(round, e.url, e.rawUrl, e.host, None, -1, None, None,
+                  None, CrawlStatus.ConnectionError, e.depth, e.priority, 0, None, -1, None)
                 newSeen += e.url
               } else {
                 // lowercased headers (F9) + per-page status, with the
@@ -110,6 +112,15 @@ object SimCrawler {
                   .getOrElse(Map.empty[String, String])
                 val pgStatus = page.flatMap(p => Option(p.http_status)).map(_.intValue).getOrElse(200)
                 val code = terminal3xx.getOrElse(pgStatus)
+                // full response headers (F9-lowercased) — None when the
+                // walk ended on a budget-terminal 3xx (no final response);
+                // synthesized single-entry map for bare input_hint pages
+                val respHeaders: Option[Map[String, String]] = terminal3xx match {
+                  case Some(_) => None
+                  case None if page.exists(_.headers != null) => Some(hdrs)
+                  case None => Some(Map("content-type" ->
+                    (if (page.get.html != null) "text/html" else "application/octet-stream")))
+                }
                 val contentType = terminal3xx match {
                   case Some(_) => None
                   // synthesized default only when the fixture has NO headers
@@ -141,9 +152,9 @@ object SimCrawler {
                       }
                   }
                 }
-                results += SimResult(round, e.url, e.rawUrl, Some(cur), code,
+                results += SimResult(round, e.url, e.rawUrl, e.host, Some(cur), code,
                   Some(StatusCodes.label(code)),
-                  contentType, CrawlStatus.Fetched, e.depth, e.priority, n,
+                  contentType, respHeaders, CrawlStatus.Fetched, e.depth, e.priority, n,
                   Some(chain), nLinks,
                   if (shouldDownload) Some(page.get.text) else None)
                 newSeen += e.url
