@@ -83,15 +83,32 @@ object SimOps {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"),
         max(col("vec_id")).as("max_vec"))
 
+  /** Buckets holding more than `max` rows — the tiny set broadcast into the
+    * skew anti-join (same mechanism as DedupOps.minhashNearDups's cap:
+    * group-count the key, broadcast the oversized keys, left-anti the
+    * CANDIDATE side — never a count window over the hot key). */
+  private def oversizedKeys(df: DataFrame, key: String, max: Int): DataFrame =
+    df.groupBy(col(key)).count().filter(col("count") > max).select(col(key))
+
   /** Approximate top-k: exact cosine ranking but only within an LSH bucket.
     * The scale path — the join key is the bucket, so the shuffle is by
     * bucket and no cross product ever materializes. Vectors alone in their
     * bucket produce no rows (the usual multi-probe/rotation tricks would
-    * fix recall; out of scope here). */
-  def lshTopK(embeddings: DataFrame, k: Int, seed: Long, nPlanes: Int, dims: Int): DataFrame = {
+    * fix recall; out of scope here).
+    *
+    * `maxBucketSize` is the skew ceiling: a degenerate bucket (a mass of
+    * duplicate or near-zero embeddings sharing one sign pattern) must not
+    * turn the self-join quadratic, so oversized buckets are dropped from
+    * the CANDIDATE side only (queries in them simply find no rows — a
+    * documented recall trade, not a correctness one). No-op at test SF, so
+    * the cap-free SQL oracle stays bit-identical. */
+  def lshTopK(embeddings: DataFrame, k: Int, seed: Long, nPlanes: Int, dims: Int,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
     val b = lshBucket(withNorm(embeddings), seed, nPlanes, dims)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-    val pairs = b.as("q").join(b.as("c"),
+    val cand = b.join(broadcast(oversizedKeys(b, "bucket", maxBucketSize)),
+      Seq("bucket"), "left_anti")
+    val pairs = b.as("q").join(cand.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
@@ -152,24 +169,26 @@ object SimOps {
     * is by cell and no cross product materializes. `maxCellSize` is the
     * skew ceiling (same rationale as DedupOps.minhashNearDups): a
     * degenerate cell must not go quadratic, so oversized cells are dropped
-    * from BOTH sides (no-op at test scale, pinned by the oracle). */
+    * from the CANDIDATE side only — vectors assigned there still run as
+    * queries through their remaining probe cells instead of silently
+    * losing their neighbors (no-op at test scale, pinned by the oracle). */
   def ivfTopK(embeddings: DataFrame, k: Int, seed: Long, kCells: Int, dims: Int,
       nprobe: Int = 2, maxCellSize: Int = 1 << 20): DataFrame = {
     require(nprobe >= 1 && nprobe <= kCells)
     val cs = centroids(seed, kCells, dims)
     val assigned = ivfCell(withNorm(embeddings), seed, kCells, dims)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val oversized = assigned.groupBy(col("cell")).count()
-      .filter(col("count") > maxCellSize).select(col("cell"))
-    val base = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val cand = assigned.join(
+      broadcast(oversizedKeys(assigned, "cell", maxCellSize)),
+      Seq("cell"), "left_anti")
     // top-nprobe probe cells: reverse(array_sort) over the packed structs is
     // descending dot with ties → ascending cell, matching the assignment rule
     val probeCells = transform(
       slice(reverse(array_sort(array(cellPacked(cs): _*))), 1, nprobe),
       p => (-p.getField("nc")).cast("int"))
-    val qside = base.drop("cell")
+    val qside = assigned.drop("cell")
       .withColumn("cell", explode(probeCells))
-    val pairs = qside.as("q").join(base.as("c"),
+    val pairs = qside.as("q").join(cand.as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
@@ -186,17 +205,22 @@ object SimOps {
     * keyed by their one home bucket, so the join remains a bucket join; the
     * probe explode multiplies only the query side by `nPlanes + 1`. A
     * (query, candidate) pair can meet in at most one probe bucket (the
-    * candidate has one home bucket), so no dedup is needed. */
+    * candidate has one home bucket), so no dedup is needed.
+    *
+    * `maxBucketSize`: see [[lshTopK]] — candidate side only, so queries
+    * homed in a degenerate bucket still rank via their other probes. */
   def lshTopKMultiProbe(embeddings: DataFrame, k: Int, seed: Long, nPlanes: Int,
-      dims: Int): DataFrame = {
+      dims: Int, maxBucketSize: Int = 1 << 20): DataFrame = {
     val home = lshBucket(withNorm(embeddings), seed, nPlanes, dims)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val cand = home.join(broadcast(oversizedKeys(home, "bucket", maxBucketSize)),
+      Seq("bucket"), "left_anti")
     val probeBuckets = array(
       col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val qside = home.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(probeBuckets).as("bucket"))
-    val pairs = qside.as("q").join(home.as("c"),
+    val pairs = qside.as("q").join(cand.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
@@ -208,12 +232,18 @@ object SimOps {
   }
 
   /** Embedding-cosine near-duplicate pairs: (a, b) with cosine ≥ threshold,
-    * candidate-limited to shared LSH buckets. */
+    * candidate-limited to shared LSH buckets.
+    *
+    * `maxBucketSize`: see [[lshTopK]]. Pairs only ever form inside one
+    * bucket, so anti-joining ONE side of the self-join suffices to drop a
+    * degenerate bucket's quadratic pair set (recall trade, documented). */
   def cosineNearDups(embeddings: DataFrame, threshold: Double, seed: Long,
-      nPlanes: Int, dims: Int): DataFrame = {
+      nPlanes: Int, dims: Int, maxBucketSize: Int = 1 << 20): DataFrame = {
     val b = lshBucket(withNorm(embeddings), seed, nPlanes, dims)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-    b.as("x").join(b.as("y"),
+    val cand = b.join(broadcast(oversizedKeys(b, "bucket", maxBucketSize)),
+      Seq("bucket"), "left_anti")
+    b.as("x").join(cand.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         pairCos("x", "y").as("cos"))

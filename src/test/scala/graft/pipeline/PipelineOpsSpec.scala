@@ -218,15 +218,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recM >= recS)
   }
 
-  test("IVF skew ceiling drops a degenerate cell from both sides") {
-    // 6 identical vectors all land in one cell; cap 4 ⇒ the cell is dropped
-    // and NO pairs form (the outlier vector is alone in its cell)
+  test("IVF skew ceiling drops a degenerate cell from the candidate side only") {
+    // 6 identical vectors all land in one cell; cap 4 ⇒ that cell's vectors
+    // never serve as candidates, but they still run as QUERIES through
+    // their remaining probe cells (the r2 both-sides drop silently returned
+    // no neighbors for them)
     val degen = ((0L to 5L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0)) :+
       ((9L, Array(-1.0f, -0.5f, 0.2f), 1))).toDF("vec_id", "embedding", "label")
-    val capped = SimOps.ivfTopK(degen, 1, 7L, 4, 3, nprobe = 1, maxCellSize = 4)
-    assert(capped.count() == 0)
+    // nprobe=1: queries only probe their own (emptied) cell → no pairs; the
+    // outlier probes its own cell where it is the only vector → no pairs
+    val capped1 = SimOps.ivfTopK(degen, 1, 7L, 4, 3, nprobe = 1, maxCellSize = 4)
+    assert(capped1.count() == 0)
     val uncapped = SimOps.ivfTopK(degen, 1, 7L, 4, 3, nprobe = 1)
     assert(uncapped.count() >= 6)
+    // full probe: every degenerate-cell vector still finds the outlier (the
+    // one surviving candidate); no returned neighbor comes from the capped
+    // cell
+    val cappedFull = SimOps.ivfTopK(degen, 1, 7L, 4, 3, nprobe = 4, maxCellSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L to 5L).foreach(q => assert(cappedFull.get(q).contains(9L),
+      s"query $q must keep ranking via surviving probe cells"))
+    assert(cappedFull.values.forall(_ == 9L))
+  }
+
+  test("hyperplane-LSH skew ceiling: degenerate bucket never self-joins") {
+    // 6 duplicate embeddings share one sign pattern; cap 4 ⇒ the bucket is
+    // dropped from the candidate side in all three LSH-family ops
+    val degen = ((0L to 5L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0)) :+
+      ((9L, Array(-1.0f, -0.5f, 0.2f), 1))).toDF("vec_id", "embedding", "label")
+    assert(SimOps.lshTopK(degen, 1, 42L, 4, 3, maxBucketSize = 4).count() == 0)
+    assert(SimOps.lshTopK(degen, 1, 42L, 4, 3).count() >= 6) // cap-free baseline
+    assert(SimOps.cosineNearDups(degen, 0.0, 42L, 4, 3, maxBucketSize = 4).count() == 0)
+    assert(SimOps.cosineNearDups(degen, 0.9, 42L, 4, 3).count() >= 15) // 6C2 dups
+    // multi-probe: queries homed in the capped bucket still rank via their
+    // Hamming-1 probes; any surviving neighbor is outside the capped bucket
+    val bk = SimOps.lshBucket(degen, 42L, 4, 3).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val mp = SimOps.lshTopKMultiProbe(degen, 1, 42L, 4, 3, maxBucketSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    mp.foreach { case (_, n) => assert(bk(n) != bk(0L),
+      "no candidate may come from the capped bucket") }
+    if (java.lang.Long.bitCount(bk(0L) ^ bk(9L)) <= 1)
+      (0L to 5L).foreach(q => assert(mp.get(q).contains(9L)))
   }
 
   test("cosine near-dups at high threshold keep only the close pairs") {
