@@ -535,28 +535,35 @@ object Queries {
         col("n_links"), col("text"))
   }
 
-  /** U1–U8 canonicalization + classification corpus (reference:
-    * linkresult/src/link_type_checker.rs:101-163, uri_service.rs:157-233). */
+  /** U1–U8 canonicalization + classification over the FULL reference
+    * corpora (scope + protocol + form_full_url, ~102 cases — the data lives
+    * in [[graft.canon.ReferenceCorpus]], shared with the specs; reference:
+    * linkresult/src/link_type_checker.rs:101-163, :207-256,
+    * uri_service.rs:157-233). Each row carries the engine-computed value
+    * NEXT TO the corpus-expected value plus an `ok` flag, so the driver
+    * record is self-evident; every column scalar. */
   def canonCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val host = "www.example.com"
-    val parent = "https://www.example.com/dir/page.html"
-    val cases = Seq(
-      "/", "https://www.example.com/", "//www.example.com", "#anchor", "/#anchor",
-      "mailto:x@example.com", "data:image/png;base64,AAAA", "javascript:void(0)",
-      "whatsapp:send?text=hi", "page2.html", "/abs/path", "../up/one.html",
-      "//sub.www.example.com/x", "//cdn.other.net/lib.js",
-      "https://www.example.com/a//b", "https://other.example/x?q=/a b",
-      "HTTPS://www.example.com/UPPER", "http://www.example.com/plain")
-    cases.toDF("uri").select(
-      col("uri"),
-      udf((u: String) => graft.canon.UrlCanon.formFullUrl("https", u, host, Some(parent)))
-        .apply(col("uri")).as("canonical"),
-      udf((u: String) => graft.canon.LinkTypeChecker.forHost(host).getUriScope(u).orNull)
-        .apply(col("uri")).as("scope"),
-      udf((u: String) => graft.canon.LinkTypeChecker.forHost(host).getUriProtocol("https", u).orNull)
-        .apply(col("uri")).as("protocol"))
-      .orderBy(col("uri"))
+    import graft.canon.{ReferenceCorpus => RC}
+    val rows =
+      RC.scopeCases.map { case (uri, want) =>
+        ("scope", "https", RC.host, "", uri, want.orNull)
+      } ++ RC.protocolCases.map { case (proto, uri, want) =>
+        ("protocol", proto, RC.host, "", uri, want.orNull)
+      } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
+        ("canonical", proto, host, parent, uri, want)
+      }
+    val computedUdf = udf((kind: String, proto: String, host: String,
+        parent: String, uri: String) => kind match {
+      case "scope" => graft.canon.LinkTypeChecker.forHost(host).getUriScope(uri).orNull
+      case "protocol" => graft.canon.LinkTypeChecker.forHost(host).getUriProtocol(proto, uri).orNull
+      case _ => graft.canon.UrlCanon.formFullUrl(proto, uri, host, Some(parent))
+    })
+    rows.toDF("kind", "parent_protocol", "host", "parent", "uri", "expected")
+      .withColumn("computed", computedUdf(col("kind"), col("parent_protocol"),
+        col("host"), col("parent"), col("uri")))
+      .withColumn("ok", col("computed") <=> col("expected"))
+      .orderBy(col("kind"), col("uri"), col("parent_protocol"), col("parent"))
   }
 
   /** X1/X2: link extraction + scope classification over synthesized pages. */

@@ -3,104 +3,25 @@ package graft.canon
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Scope + protocol corpora ported verbatim from the reference tests
-  * (reference: linkresult/src/link_type_checker.rs:101-163, :207-256). */
+  * (reference: linkresult/src/link_type_checker.rs:101-163, :207-256).
+  * The corpus DATA lives in [[ReferenceCorpus]] so the driver-facing
+  * `q_canon_corpus` query evaluates the identical cases. */
 class LinkTypeCheckerSpec extends AnyFunSuite {
-  import UriScope._
-  import UriProtocol._
 
-  private val checker = LinkTypeChecker.forHost("example.com")
+  private val checker = LinkTypeChecker.forHost(ReferenceCorpus.host)
 
-  test("get_uri_scope returns correct type (reference corpus)") {
-    val cases: Seq[(String, Option[String])] = Seq(
-      "/" -> Some(Root),
-      "example.com" -> Some(Root),
-      "example.com/" -> Some(Root),
-      "http://example.com" -> Some(Root),
-      "http://example.com/" -> Some(Root),
-      "https://example.com" -> Some(Root),
-      "https://example.com/" -> Some(Root),
-      "#" -> Some(Anchor),
-      "#s-angle-down" -> Some(Anchor),
-      "/#s-angle-down" -> Some(Anchor),
-      "data:image/png;base64,iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6AgAA+gD3odZZSQAAAABJRU5ErkJggg==" -> Some(EmbeddedImage),
-      "/account/login?redirect=https://example.com/" -> Some(SameDomain),
-      "/agb/" -> Some(SameDomain),
-      "/ausgabe/example-com-62-mindful-leadership/" -> Some(SameDomain),
-      "//cdn.external-domain.com/example.com/some-big-file.RAW" -> Some(External),
-      "//storage.googleapis.com/example.com/foo.png" -> Some(External),
-      "//foo.example.com/some-file.png" -> Some(DifferentSubDomain),
-      "somefile/some.txt" -> Some(SameDomain),
-      "http://feeds.soundcloud.com/users/soundcloud:users:213461595/sounds.rss" -> Some(External),
-      "https://example-com.cloudfront.net/example-com/images/icons/example-com-apple-touch-120x120.png" -> Some(External),
-      "https://faq.example.com/" -> Some(DifferentSubDomain),
-      "https://faq.example.com/deep-link?https://example.com" -> Some(DifferentSubDomain),
-      "https://www.somewhere.com?source=https%3A%2F%2F//faq.example.com/" -> Some(External),
-      "https://www.somewhere.com/?source=https://faq.example.com/" -> Some(External),
-      "https://www.somewhere.com?https://faq.example.com/" -> Some(External),
-      "https://getpocket.com/edit.php?url=https%3A%2F%2Fexample.com%2Fnews%2Fchangerider-karriereknick-fuer-1351665%2F%3Futm_source%3Dpocket%26utm_medium%3Dsocial%26utm_campaign%3Dsocial-buttons" -> Some(External),
-      "https://medium.com/@example-combackstageblog" -> Some(External),
-      "https://example.com/ausgabe/example-com-59-straight-outta-office/" -> Some(SameDomain),
-      "https://example.com/rss.xml" -> Some(SameDomain),
-      "https://example.com/team" -> Some(SameDomain),
-      "https://www.kununu.com/de/example-com/" -> Some(External),
-      "mailto:support@example.com" -> Some(Mailto),
-      "https://example-com.cloudfront.net/example-com/styles/main-1234567890.css" -> Some(External),
-      "https://www.a-b-c.com" -> Some(External),
-      "javascript:fef4ee" -> Some(Code),
-      "java:nothing" -> Some(UnknownPrefix),
-      "customPrefix:nothing" -> Some(UnknownPrefix),
-      "customPrefXix:foobar();" -> Some(UnknownPrefix),
-      "" -> None,
-    )
-    cases.foreach { case (uri, expected) =>
+  test("get_uri_scope returns correct type (reference corpus incl. share urls)") {
+    assert(ReferenceCorpus.scopeCases.size >= 42, "full corpus expected")
+    ReferenceCorpus.scopeCases.foreach { case (uri, expected) =>
       assert(checker.getUriScope(uri) == expected, s"scope of '$uri'")
     }
   }
 
-  test("get_uri_scope twitter/linkedin/xing share urls are External") {
-    val externals = Seq(
-      "https://twitter.com/intent/tweet?text=Googles%20Mobile-First-Indexing%3A%20Das%20sollten%20SEO-Experten%20unbedingt%20beachten&url=https%3A%2F%2Fexample.com%2Fmagazin%2Fgoogles-mobile-first-indexing-250229%2F%3Futm_source%3Dtwitter.com%26utm_medium%3Dsocial%26utm_campaign%3Dsocial-buttons&via=example-com&lang=de",
-      "https://www.linkedin.com/shareArticle?mini=true&url=https%3A%2F%2Fexample.com%2Fnews%2Feu-leistungsschutzrecht-frankreich-publisher-google-news-1351802%2F%3Futm_source%3Dlinkedin.com%26utm_medium%3Dsocial%26utm_campaign%3Dsocial-buttons",
-      "https://www.xing.com/spi/shares/new?url=https%3A%2F%2Fexample.com%2Fmagazin%2Fgoogles-mobile-first-indexing-250229%2F%3Futm_source%3Dxing.com%26utm_medium%3Dsocial%26utm_campaign%3Dsocial-buttons",
-    )
-    externals.foreach(u => assert(checker.getUriScope(u) == Some(External), u))
-  }
-
   test("get_uri_protocol returns correct protocol (reference corpus)") {
-    val dataUri = "data:image/png;base64,iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6AgAA+gD3odZZSQAAAABJRU5ErkJggg=="
-    val cases: Seq[(String, String, Option[String])] = Seq(
-      ("http", "/", Some(HTTP)),
-      ("https", "/", Some(HTTPS)),
-      ("http", "#", Some(HTTP)),
-      ("https", "#", Some(HTTPS)),
-      ("http", "#s-angle-down", Some(HTTP)),
-      ("https", "#s-angle-down", Some(HTTPS)),
-      ("http", "/#s-angle-down", Some(HTTP)),
-      ("https", "/#s-angle-down", Some(HTTPS)),
-      ("http", dataUri, None),
-      ("https", dataUri, None),
-      ("http", "/account/login?redirect=https://example.com/", Some(HTTP)),
-      ("https", "/account/login?redirect=https://example.com/", Some(HTTPS)),
-      ("http", "//same-domain-deeplink/to-somewhere", Some(IMPLICIT)),
-      ("https", "//same-domain-deeplink/to-somewhere", Some(IMPLICIT)),
-      ("http", "//cdn.external-domain.com/some-big-file.RAW", Some(IMPLICIT)),
-      ("https", "//cdn.external-domain.com/some-big-file.RAW", Some(IMPLICIT)),
-      ("http", "somefile/some.txt", Some(HTTP)),
-      ("https", "somefile/some.txt", Some(HTTPS)),
-      ("https", "http://feeds.soundcloud.com/users/soundcloud:users:213461595/sounds.rss", Some(HTTP)),
-      ("http", "https://example-com.cloudfront.net/example-com/images/icons/example-com-apple-touch-120x120.png", Some(HTTPS)),
-      ("http", "https://example.com/rss.xml", Some(HTTPS)),
-      ("http", "mailto:support@example.com", None),
-      ("https", "mailto:support@example.com", None),
-      ("https", "javascript:foobar();", None),
-      ("https", "customPrefXix:foobar();", None),
-      ("http", "", None),
-      ("https", "", None),
-      ("https", "//example.com", Some(IMPLICIT)),
-      ("http", "//example.com", Some(IMPLICIT)),
-    )
-    cases.foreach { case (parent, uri, expected) =>
-      assert(checker.getUriProtocol(parent, uri) == expected, s"protocol of ('$parent', '$uri')")
+    assert(ReferenceCorpus.protocolCases.size >= 29, "full corpus expected")
+    ReferenceCorpus.protocolCases.foreach { case (parent, uri, expected) =>
+      assert(checker.getUriProtocol(parent, uri) == expected,
+        s"protocol of ('$parent', '$uri')")
     }
   }
 }
