@@ -117,15 +117,10 @@ object CrawlJob {
       // this round's new-seen slice: counted once (the cumulative seen
       // table is NEVER rescanned for a metric) and folded into the blooms.
       // A round CAN produce zero new-seen rows (every scheduled url became
-      // seen mid-round, e.g. as another url's redirect target); partitionBy
-      // then writes no part files and reading the dir would fail schema
-      // inference — guard on the bucket dirs existing.
-      val roundSeenDir = new java.io.File(s"$stateDir/seen/round=$round")
-      val newSeenSlice =
-        if (Option(roundSeenDir.listFiles).exists(_.exists(_.getName.startsWith("bucket="))))
-          spark.read.option("basePath", s"$stateDir/seen")
-            .parquet(s"$stateDir/seen/round=$round").select("url")
-        else emptySeen(spark)
+      // seen mid-round, e.g. as another url's redirect target) — TableIO
+      // probes the bucket dirs through the Hadoop FS API (HDFS/object-store
+      // safe) and returns None for an empty slice.
+      val newSeenSlice = io.readSeenSlice(round).getOrElse(emptySeen(spark))
       seenTotal += newSeenSlice.count()
       if (cfg.useBloomSeen) {
         val cap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,
@@ -163,6 +158,15 @@ object CrawlJob {
       io.writeMetrics(round, metricsDf)
       io.commitRound(round,
         s"""{"round":$round,"scheduled":$scheduledN,"fetched":$fetchedN,"frontier":$frontierCount}""")
+
+      // periodic seen compaction — strictly AFTER the commit marker (only
+      // committed rounds may be folded in; a crash mid-compaction must
+      // leave a resumable layout). The live `seen` plan referenced the
+      // now-deleted per-round dirs, so re-read it from the compacted snapshot.
+      if (cfg.seenCompactEvery > 0 && (round + 1) % cfg.seenCompactEvery == 0) {
+        io.compactSeen(round)
+        seen = io.readSeen(round).map(_.select("url")).getOrElse(emptySeen(spark))
+      }
 
       round += 1
     }

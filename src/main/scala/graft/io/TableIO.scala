@@ -1,20 +1,25 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 
 /** Iceberg-shaped table/checkpoint seam over Parquet (SURVEY.md §7.1.5).
   *
   * The sandbox ships no Iceberg jars, so this implements the contract the
   * north rule needs from Iceberg — snapshot-per-round isolation, partition
-  * layout on url-host hash buckets, exact resume — with plain Parquet dirs
-  * plus an atomically-renamed per-round JSON manifest. A real Iceberg catalog
-  * can replace this seam without touching the engine.
+  * layout on url-host hash buckets, exact resume, periodic compaction —
+  * with plain Parquet dirs plus an atomically-renamed per-round JSON
+  * manifest. A real Iceberg catalog can replace this seam without touching
+  * the engine. All filesystem access goes through the Hadoop FileSystem
+  * API, so `root` may be local, HDFS or an object store.
   *
   * Layout under `root`:
   * {{{
   *   results/round=N/   part-*.parquet      (append-only, one dir per round)
   *   seen/round=N/      bucket=B/part-*.parquet (append-only per round)
+  *   seen_compacted/upto=N/ bucket=B/...    (all rounds ≤ N in one dir)
+  *   seen_compacted/_watermark              (content: N, written LAST)
   *   frontier/round=N/  part-*.parquet      (full snapshot per round)
   *   metrics/round=N/   part-*.parquet
   *   manifest/round=N.json                  (commit marker, written LAST)
@@ -27,6 +32,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 final class TableIO(spark: SparkSession, root: String) {
 
   private def p(parts: String*): String = (Seq(root) ++ parts).mkString("/")
+  private def hp(parts: String*): HPath = new HPath(p(parts: _*))
+  private val fs: FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write small bytes to `dir/name` atomically: temp file + rename. */
+  private def atomicWrite(dir: HPath, name: String, bytes: Array[Byte]): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new HPath(dir, name)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private def readBytes(f: HPath): Array[Byte] = {
+    val in = fs.open(f)
+    try in.readAllBytes() finally in.close()
+  }
 
   // the round=N partition dir re-materializes `round` on read, so the data
   // column is dropped at write to avoid a partition/data column collision
@@ -65,61 +89,110 @@ final class TableIO(spark: SparkSession, root: String) {
     * round): one binary file per bucket under blooms/round=N/. Tiny (the
     * broadcast payload), rewritten whole each round. */
   def writeBlooms(round: Int, blooms: Map[Int, Array[Byte]]): Unit = {
-    val dir = Paths.get(p("blooms", s"round=$round"))
-    Files.createDirectories(dir)
+    val dir = hp("blooms", s"round=$round")
+    fs.mkdirs(dir)
     blooms.foreach { case (bucket, bytes) =>
-      Files.write(dir.resolve(s"bucket=$bucket.bloom"), bytes)
+      val out = fs.create(new HPath(dir, s"bucket=$bucket.bloom"), true)
+      try out.write(bytes) finally out.close()
     }
   }
 
   def readBlooms(round: Int): Map[Int, Array[Byte]] = {
-    val dir = Paths.get(p("blooms", s"round=$round"))
-    if (!Files.isDirectory(dir)) return Map.empty
+    val dir = hp("blooms", s"round=$round")
+    if (!fs.exists(dir)) return Map.empty
     val rx = "bucket=(\\d+)\\.bloom".r
-    val out = scala.collection.mutable.Map.empty[Int, Array[Byte]]
-    Files.list(dir).forEach { f: Path =>
-      f.getFileName.toString match {
-        case rx(b) => out(b.toInt) = Files.readAllBytes(f)
-        case _ =>
+    fs.listStatus(dir).flatMap { st =>
+      st.getPath.getName match {
+        case rx(b) => Some(b.toInt -> readBytes(st.getPath))
+        case _ => None
       }
-    }
-    out.toMap
+    }.toMap
   }
 
   /** Atomic commit marker: write to a temp file, then rename into place. */
-  def commitRound(round: Int, manifestJson: String): Unit = {
-    val dir = Paths.get(p("manifest"))
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s"round=$round.json.tmp")
-    Files.writeString(tmp, manifestJson)
-    Files.move(tmp, dir.resolve(s"round=$round.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def commitRound(round: Int, manifestJson: String): Unit =
+    atomicWrite(hp("manifest"), s"round=$round.json",
+      manifestJson.getBytes(StandardCharsets.UTF_8))
 
   /** Highest committed round, or -1 if none. */
   def lastCommittedRound(): Int = {
-    val dir = Paths.get(p("manifest"))
-    if (!Files.isDirectory(dir)) return -1
+    val dir = hp("manifest")
+    if (!fs.exists(dir)) return -1
     val rx = "round=(\\d+)\\.json".r
-    var best = -1
-    Files.list(dir).forEach { f: Path =>
-      f.getFileName.toString match {
-        case rx(n) => best = math.max(best, n.toInt)
-        case _ =>
+    fs.listStatus(dir).foldLeft(-1) { (best, st) =>
+      st.getPath.getName match {
+        case rx(n) => math.max(best, n.toInt)
+        case _ => best
       }
     }
-    best
   }
 
   def readFrontier(round: Int): DataFrame =
     spark.read.parquet(p("frontier", s"round=$round"))
 
-  /** Union of all committed seen partitions up to `round` (inclusive). */
+  /** The round whose compaction snapshot covers all seen slices ≤ it, or
+    * -1 when the seen table has never been compacted. */
+  def compactionWatermark(): Int = {
+    val f = hp("seen_compacted", "_watermark")
+    if (!fs.exists(f)) -1
+    else new String(readBytes(f), StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** All committed seen urls up to `round` (inclusive), as (url, bucket):
+    * the latest compaction snapshot plus the per-round tail slices after
+    * it. Without compaction the union grows one directory per round — a
+    * listing/small-files problem at thousands of rounds — which is exactly
+    * what [[compactSeen]] bounds. */
   def readSeen(upToRound: Int): Option[DataFrame] = {
-    val dirs = (0 to upToRound).map(r => p("seen", s"round=$r"))
-      .filter(d => Files.exists(Paths.get(d)))
-    if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", p("seen")).parquet(dirs: _*))
+    val w = compactionWatermark()
+    val useCompacted = w >= 0 && w <= upToRound
+    val compacted =
+      if (useCompacted)
+        Seq(spark.read.option("basePath", p("seen_compacted", s"upto=$w"))
+          .parquet(p("seen_compacted", s"upto=$w")).select("url", "bucket"))
+      else Seq.empty
+    val tailStart = if (useCompacted) w + 1 else 0
+    val dirs = (tailStart to upToRound).map(r => p("seen", s"round=$r"))
+      .filter(d => fs.exists(new HPath(d)))
+    val tails =
+      if (dirs.isEmpty) Seq.empty
+      else Seq(spark.read.option("basePath", p("seen")).parquet(dirs: _*)
+        .select("url", "bucket"))
+    (compacted ++ tails).reduceOption(_.union(_))
+  }
+
+  /** One round's new-seen slice (url only); None when the round produced
+    * no rows — partitionBy writes no part files for an empty DataFrame and
+    * schema inference on the bare dir would fail. Probed via the Hadoop
+    * FileSystem API (works on HDFS/object stores, not just local disk). */
+  def readSeenSlice(round: Int): Option[DataFrame] = {
+    val dir = hp("seen", s"round=$round")
+    val nonEmpty = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
+    if (!nonEmpty) None
+    else Some(spark.read.option("basePath", p("seen"))
+      .parquet(p("seen", s"round=$round")).select("url"))
+  }
+
+  /** Rewrite every seen slice ≤ `upToRound` (including any previous
+    * compaction snapshot) into ONE bucket-partitioned dir, then publish the
+    * `_watermark` atomically and drop the superseded per-round dirs. Must
+    * only be called for a COMMITTED round. Crash-safe at every step:
+    * before the watermark rename, readers still see the per-round layout;
+    * after it, they ignore slices ≤ watermark, so the trailing deletes are
+    * pure garbage collection. Callers holding a pre-compaction seen
+    * DataFrame must re-read it afterwards (the old dirs are gone). */
+  def compactSeen(upToRound: Int): Unit = {
+    val prev = compactionWatermark()
+    if (prev >= upToRound) return // nothing newer to fold in
+    readSeen(upToRound).foreach { df =>
+      df.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(p("seen_compacted", s"upto=$upToRound"))
+      atomicWrite(hp("seen_compacted"), "_watermark",
+        upToRound.toString.getBytes(StandardCharsets.UTF_8))
+      (0 to upToRound).foreach(r => fs.delete(hp("seen", s"round=$r"), true))
+      if (prev >= 0) fs.delete(hp("seen_compacted", s"upto=$prev"), true)
+    }
   }
 
   def readResults(): DataFrame =

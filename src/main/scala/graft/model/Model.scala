@@ -66,6 +66,12 @@ final case class CrawlConfig(
     /** Bloom sizing: expected urls per bucket (3% fpp at this load). At
       * 10^10 urls raise seenBuckets so this stays ≤ ~4M per bucket. */
     bloomExpectedPerBucket: Long = 4096L,
+    /** Fold the per-round seen slices into one compacted snapshot every K
+      * committed rounds (0 = never): bounds the anti-join's scan to
+      * compacted + ≤ K tail dirs instead of one dir per round — at
+      * thousands of rounds the per-round union is a small-files/listing
+      * problem whose cost grows with round count, not seen size. */
+    seenCompactEvery: Int = 64,
     maxRounds: Int = 1000)
 
 /** One frontier entry. `priority` is a binary lineage path: 4 big-endian

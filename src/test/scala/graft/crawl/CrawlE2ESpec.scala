@@ -241,6 +241,39 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(sparkRows(resumed.results) == sparkRows(full.results))
   }
 
+  test("exact resume across a seen-compaction boundary") {
+    val g = Synth.graph(seed = 42L, hosts = 3, pagesPerHost = 10)
+    // compact every 2 committed rounds: the interrupted run ends ON a
+    // compaction (per-round seen dirs ≤ 1 deleted, snapshot + watermark
+    // written), so resume MUST read compacted + tail slices correctly
+    val cfg = CrawlConfig(maxDepth = 3, hostQuotaPerRound = 2, seenCompactEvery = 2)
+    val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
+
+    val fullDir = java.nio.file.Files.createTempDirectory("crawl-cfull").toString
+    val full = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf,
+      cfg.copy(seenCompactEvery = 0), fullDir) // compaction-free reference
+
+    val partDir = java.nio.file.Files.createTempDirectory("crawl-cpart").toString
+    CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf,
+      cfg.copy(maxRounds = 2), partDir)
+    val io = new graft.io.TableIO(spark, partDir)
+    assert(io.compactionWatermark() == 1, "round-1 compaction must have run")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$partDir/seen/round=0")),
+      "compaction must drop superseded per-round dirs")
+    val resumed = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf,
+      cfg, partDir, resume = true)
+
+    assert(resumed.rounds == full.rounds)
+    assert(sparkRows(resumed.results) == sparkRows(full.results))
+    // final seen set identical whether or not any compaction ever ran
+    val fullSeen = new graft.io.TableIO(spark, fullDir).readSeen(full.rounds - 1)
+      .get.select("url").collect().map(_.getString(0)).toSet
+    val compSeen = io.readSeen(resumed.rounds - 1)
+      .get.select("url").collect().map(_.getString(0)).toSet
+    assert(compSeen == fullSeen)
+  }
+
   test("JSONL results export round-trips against the parquet results (S5)") {
     val g = Synth.graph(seed = 42L, hosts = 2, pagesPerHost = 8)
     val cfg = CrawlConfig(maxDepth = 2, hostQuotaPerRound = 4, exportJsonl = true)
