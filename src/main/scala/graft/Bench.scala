@@ -161,6 +161,10 @@ object Bench {
       .master(s"local-cluster[$executors,$coresPerExec,9216]")
       .config("spark.executor.memory", "6g")
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // local[N] never pays locality waits (everything process-local); a
+      // forked fleet does — up to 3s/stage of task-launch serialization on
+      // preferred locations. Zero it so both shapes schedule identically.
+      .config("spark.locality.wait", "0ms")
       .config("spark.jars", "file:" + jar)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -284,7 +288,9 @@ object Bench {
 
     // JIT warm-up sized per core: both levels warm equally per executor
     // thread before the measured rounds
-    def warmRows(totalCores: Int): Long = 50000L * totalCores
+    // 150k rows/core: at 50k/core the 4-executor fleet's measured rounds
+    // were still rising round-over-round (C2 not done with the canon UDF)
+    def warmRows(totalCores: Int): Long = 150000L * totalCores
     val kRounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
     val roundLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def bestOfK(s: SparkSession, tag: String): (Long, Double) = {
@@ -314,10 +320,15 @@ object Bench {
     val jar = if (sys.env.contains("SPARK_GRAFT_THREAD_SCALING")) None else ensureJar()
     val execJson = if (jar.isEmpty || sys.env.contains("SPARK_GRAFT_SKIP_ALT") ||
         !new java.io.File("/opt/spark/jars").isDirectory) "" else {
-      val execTrials = sys.env.getOrElse("SPARK_GRAFT_EXEC_TRIALS", "2").toInt
+      // 3 pairs by default: an odd count reports the true median pair
+      // (an even count must fall back to the conservative lower middle)
+      val execTrials = sys.env.getOrElse("SPARK_GRAFT_EXEC_TRIALS", "3").toInt
       // a fleet that fails to schedule (stale worker still holding memory)
       // is RETRIED after a longer drain, never measured — averaging in a
-      // resource-starved trial is what sank the r2 recorded number
+      // resource-starved trial is what sank the r2 recorded number.
+      // fleetRetries in the JSON is the raw evidence that every MEASURED
+      // trial ran on a fully-registered fleet (0 = first try every time).
+      var fleetRetries = 0
       def execTrial(execs: Int): (Long, Double) = {
         var attempt = 0
         var res: Option[(Long, Double)] = None
@@ -330,6 +341,7 @@ object Bench {
             })
           } catch {
             case e: FleetNotScheduled if attempt < 3 =>
+              fleetRetries += 1
               System.err.println(s"[bench] fleet of $execs executors: ${e.getMessage}; draining 10s and retrying (attempt $attempt)")
               Thread.sleep(10000)
           }
@@ -343,7 +355,7 @@ object Bench {
         val ((_, erN), (_, er4N)) = eByEff((eByEff.size - 1) / 2)
         val eRates = ePairs.map { case ((_, rN), (_, r4N)) =>
           f"""[$rN%.0f,$r4N%.0f]""" }.mkString("[", ",", "]")
-        f""","scaling_exec":{"mode":"executors","executors_n":$nExec,"cores_per_executor":$coresPerExec,"rate_n":$erN%.1f,"executors_4n":${nExec * 4},"rate_4n":$er4N%.1f,"efficiency":${(er4N / erN) / 4.0}%.3f,"pair_rates":$eRates}"""
+        f""","scaling_exec":{"mode":"executors","executors_n":$nExec,"cores_per_executor":$coresPerExec,"rate_n":$erN%.1f,"executors_4n":${nExec * 4},"rate_4n":$er4N%.1f,"efficiency":${(er4N / erN) / 4.0}%.3f,"fleet_retries":$fleetRetries,"pair_rates":$eRates}"""
       } catch {
         case e: FleetNotScheduled =>
           // three straight scheduling failures: report the fact instead of

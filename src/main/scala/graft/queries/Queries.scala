@@ -514,6 +514,10 @@ object Queries {
       try {
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.codegen.wholeStage", "false")
+        // (measured r3: AQE stays ON — disabling it shaves ~0.5s of
+        // per-round planning but costs ~1s of per-round execution, net
+        // worse; the post-shuffle coalescing it does is what keeps the
+        // 30-row stages single-task)
         CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
           CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12,
             useBloomSeen = false))
