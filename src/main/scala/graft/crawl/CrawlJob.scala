@@ -255,7 +255,13 @@ object CrawlJob {
       }
       blooms.foreach(_.unpersist(false))
       frontier.unpersist(); seen.unpersist()
-      seen = seen.union(newSeenRows).persist()
+      // the seen union chain grows one plan node per round — collapse it to
+      // a LogicalRDD leaf periodically so a deep in-memory run never pays
+      // Catalyst analysis linear in rounds (one extra optimize pass per 8
+      // rounds over a tiny table; the persistent loop truncates via parquet)
+      val grownSeen = seen.union(newSeenRows)
+      seen = (if ((round + 1) % 8 == 0) grownSeen.localCheckpoint(false)
+              else grownSeen).persist()
       frontier = newFrontier
       results = if (results == null) newResults else results.union(newResults)
       frontierCount = counts.getOrElse("f", 0L)
