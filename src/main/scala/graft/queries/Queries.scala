@@ -570,6 +570,30 @@ object Queries {
       .orderBy(col("kind"), col("uri"), col("parent_protocol"), col("parent"))
   }
 
+  /** DuckDB oracle for [[canonCorpus]]: the corpus' EXPECTED values as a
+    * literal VALUES table (computed = expected, ok = true). Not circular —
+    * the Spark side emits what the ENGINE computed, so any divergence from
+    * the reference corpus hash-mismatches against this table. */
+  val canonCorpusSql: String = {
+    import graft.canon.{ReferenceCorpus => RC}
+    def q(v: String): String =
+      if (v == null) "CAST(NULL AS VARCHAR)" else "'" + v.replace("'", "''") + "'"
+    val rows =
+      RC.scopeCases.map { case (uri, want) =>
+        Seq(q("scope"), q("https"), q(RC.host), q(""), q(uri), q(want.orNull))
+      } ++ RC.protocolCases.map { case (proto, uri, want) =>
+        Seq(q("protocol"), q(proto), q(RC.host), q(""), q(uri), q(want.orNull))
+      } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
+        Seq(q("canonical"), q(proto), q(host), q(parent), q(uri), q(want))
+      }
+    val values = rows.map(r => (r :+ r(5) :+ "true").mkString("(", ", ", ")"))
+      .mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$values
+       |) AS t(kind, parent_protocol, host, parent, uri, expected, computed, ok)
+       |ORDER BY kind, uri, parent_protocol, parent""".stripMargin
+  }
+
   /** X1/X2: link extraction + scope classification over synthesized pages. */
   def extractLinks(s: SparkSession, dir: String): DataFrame = {
     val g = Synth.graph(42L, hosts = 2, pagesPerHost = 6)
@@ -647,5 +671,6 @@ object Queries {
     "q_ivf_top1" -> ivfTop1Sql,
     "q_embed_mplsh_top1" -> embedMpLshTop1Sql,
     "q_cosine_neardups" -> cosineNearDupPairsSql,
-    "q_media_stats" -> mediaStatsSql)
+    "q_media_stats" -> mediaStatsSql,
+    "q_canon_corpus" -> canonCorpusSql)
 }
