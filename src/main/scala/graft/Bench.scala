@@ -94,9 +94,13 @@ object Bench {
     // cross-checks the politeness quota against the pre-counted host set
     val row = flagged.agg(count(lit(1)), sum(when(col("is_scheduled"), 1L).otherwise(0L))).collect()(0)
     val sec = (System.nanoTime() - t0) / 1e9
-    val scheduledSum = row.getLong(1)
-    require(scheduledSum > 0 && scheduledSum <= nHosts * quota,
+    // sum over zero rows is null (an empty fresh set is legal, not a
+    // quota violation); a NON-empty fresh set must schedule at least one
+    val scheduledSum = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(scheduledSum <= nHosts * quota,
       s"politeness quota violated: $scheduledSum scheduled for $nHosts hosts × quota $quota")
+    require(row.getLong(0) == 0L || scheduledSum > 0L,
+      s"no rows scheduled from a non-empty fresh set of ${row.getLong(0)}")
     (row.getLong(0), inputN / sec)
   }
 

@@ -140,4 +140,34 @@ object ReferenceCorpus {
     ).map { case (parent, u, want) => ("https", u, "www.example.com", parent, want) }
     form ++ proto ++ normalize
   }
+
+  /** Builder-authored regression goldens BEYOND the reference's own test
+    * corpus — uppercase scheme, unknown prefixes, protocol-relative
+    * same/sub/external hosts, file-path-parent relative resolution, query
+    * encoding, duplicate-slash collapse. Expected values are the engine's
+    * pinned outputs (consistent with the reference's rules: case-sensitive
+    * scheme regexes, dot-segments resolved against the full parent path).
+    * (uri, canonical, scope, protocol) against `extraHost`/`extraParent`. */
+  val extraHost = "www.example.com"
+  val extraParent = "https://www.example.com/dir/page.html"
+  val extraCases: Seq[(String, String, String, String)] = Seq(
+    ("/", "https://www.example.com/", "Root", "HTTPS"),
+    ("https://www.example.com/", "https://www.example.com/", "Root", "HTTPS"),
+    ("//www.example.com", "https://www.example.com//www.example.com", "SameDomain", "IMPLICIT"),
+    ("#anchor", "https://www.example.com/#anchor", "Anchor", "HTTPS"),
+    ("/#anchor", "https://www.example.com/#anchor", "Anchor", "HTTPS"),
+    ("mailto:x@example.com", "mailto:x@example.com", "Mailto", null),
+    ("data:image/png;base64,AAAA", "data:image/png;base64,AAAA", "EmbeddedImage", null),
+    ("javascript:void(0)", "javascript:void(0)", "Code", null),
+    ("whatsapp:send?text=hi", "whatsapp:send?text=hi", "UnknownPrefix", null),
+    ("page2.html", "https://www.example.com/page2.html", "SameDomain", "HTTPS"),
+    ("/abs/path", "https://www.example.com/abs/path", "SameDomain", "HTTPS"),
+    ("../up/one.html", "https://www.example.com/dir/up/one.html", "SameDomain", "HTTPS"),
+    ("//sub.www.example.com/x", "https://sub.www.example.com/x", "DifferentSubDomain", "IMPLICIT"),
+    ("//cdn.other.net/lib.js", "https://cdn.other.net/lib.js", "External", "IMPLICIT"),
+    ("https://www.example.com/a//b", "https://www.example.com/a/b", "SameDomain", "HTTPS"),
+    ("https://other.example/x?q=/a b", "https://other.example/x?q=%2Fa%20b", "External", "HTTPS"),
+    ("HTTPS://www.example.com/UPPER", "HTTPS:/www.example.com/UPPER", "UnknownPrefix", null),
+    ("http://www.example.com/plain", "http://www.example.com/plain", "SameDomain", "HTTP"),
+  )
 }

@@ -258,10 +258,12 @@ object CrawlJob {
       // the seen union chain grows one plan node per round — collapse it to
       // a LogicalRDD leaf periodically so a deep in-memory run never pays
       // Catalyst analysis linear in rounds (one extra optimize pass per 8
-      // rounds over a tiny table; the persistent loop truncates via parquet)
+      // rounds over a tiny table; the persistent loop truncates via
+      // parquet). The checkpoint already stores the partitions, so no
+      // .persist() on top — that would hold the rows twice.
       val grownSeen = seen.union(newSeenRows)
-      seen = (if ((round + 1) % 8 == 0) grownSeen.localCheckpoint(false)
-              else grownSeen).persist()
+      seen = if ((round + 1) % 8 == 0) grownSeen.localCheckpoint(false)
+             else grownSeen.persist()
       frontier = newFrontier
       results = if (results == null) newResults else results.union(newResults)
       frontierCount = counts.getOrElse("f", 0L)

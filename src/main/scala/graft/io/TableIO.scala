@@ -18,8 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
   * {{{
   *   results/round=N/   part-*.parquet      (append-only, one dir per round)
   *   seen/round=N/      bucket=B/part-*.parquet (append-only per round)
-  *   seen_compacted/upto=N/ bucket=B/...    (all rounds ≤ N in one dir)
-  *   seen_compacted/_watermark              (content: N, written LAST)
+  *   seen_compacted/upto=N/ bucket=B/...    (all rounds ≤ N in one dir;
+  *                                           committed iff its Spark
+  *                                           _SUCCESS marker exists)
   *   frontier/round=N/  part-*.parquet      (full snapshot per round)
   *   metrics/round=N/   part-*.parquet
   *   manifest/round=N.json                  (commit marker, written LAST)
@@ -36,15 +37,21 @@ final class TableIO(spark: SparkSession, root: String) {
   private val fs: FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Write small bytes to `dir/name` atomically: temp file + rename. */
+  /** Write small bytes to `dir/name` atomically: temp file + rename.
+    * Hadoop FS ops report many failures as `false` instead of throwing —
+    * every boolean is checked so a failed marker write can never be
+    * mistaken for a commit. */
   private def atomicWrite(dir: HPath, name: String, bytes: Array[Byte]): Unit = {
-    fs.mkdirs(dir)
+    if (!fs.mkdirs(dir))
+      throw new java.io.IOException(s"mkdirs failed: $dir")
     val tmp = new HPath(dir, s"$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val dst = new HPath(dir, name)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new java.io.IOException(s"delete failed: $dst")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename failed: $tmp -> $dst")
   }
 
   private def readBytes(f: HPath): Array[Byte] = {
@@ -130,13 +137,27 @@ final class TableIO(spark: SparkSession, root: String) {
   def readFrontier(round: Int): DataFrame =
     spark.read.parquet(p("frontier", s"round=$round"))
 
+  private val uptoRx = "upto=(\\d+)".r
+
+  /** Rounds with a COMMITTED compaction snapshot (`upto=N` dir whose Spark
+    * `_SUCCESS` marker exists). The marker IS the commit point — a
+    * separate watermark file would need delete-then-rename to update,
+    * whose crash window silently un-compacts the table. */
+  private def snapshotRounds(): Seq[Int] = {
+    val dir = hp("seen_compacted")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case uptoRx(n) if fs.exists(new HPath(st.getPath, "_SUCCESS")) =>
+          Some(n.toInt)
+        case _ => None
+      }
+    }
+  }
+
   /** The round whose compaction snapshot covers all seen slices ≤ it, or
     * -1 when the seen table has never been compacted. */
-  def compactionWatermark(): Int = {
-    val f = hp("seen_compacted", "_watermark")
-    if (!fs.exists(f)) -1
-    else new String(readBytes(f), StandardCharsets.UTF_8).trim.toInt
-  }
+  def compactionWatermark(): Int = snapshotRounds().foldLeft(-1)(math.max)
 
   /** All committed seen urls up to `round` (inclusive), as (url, bucket):
     * the latest compaction snapshot plus the per-round tail slices after
@@ -144,8 +165,16 @@ final class TableIO(spark: SparkSession, root: String) {
     * listing/small-files problem at thousands of rounds — which is exactly
     * what [[compactSeen]] bounds. */
   def readSeen(upToRound: Int): Option[DataFrame] = {
-    val w = compactionWatermark()
-    val useCompacted = w >= 0 && w <= upToRound
+    val snaps = snapshotRounds()
+    val usable = snaps.filter(_ <= upToRound)
+    // a snapshot beyond upToRound with no usable one means the per-round
+    // slices this view needs were garbage-collected — fail loudly instead
+    // of silently serving a truncated seen set (duplicate crawls)
+    require(snaps.isEmpty || usable.nonEmpty,
+      s"seen table is compacted beyond round $upToRound " +
+        s"(snapshots at ${snaps.sorted.mkString(",")}) — slices for this view are gone")
+    val w = if (usable.isEmpty) -1 else usable.max
+    val useCompacted = w >= 0
     val compacted =
       if (useCompacted)
         Seq(spark.read.option("basePath", p("seen_compacted", s"upto=$w"))
@@ -183,15 +212,23 @@ final class TableIO(spark: SparkSession, root: String) {
     * pure garbage collection. Callers holding a pre-compaction seen
     * DataFrame must re-read it afterwards (the old dirs are gone). */
   def compactSeen(upToRound: Int): Unit = {
-    val prev = compactionWatermark()
-    if (prev >= upToRound) return // nothing newer to fold in
+    if (compactionWatermark() >= upToRound) return // nothing newer to fold in
     readSeen(upToRound).foreach { df =>
+      // the parquet write's _SUCCESS marker is the snapshot's commit point;
+      // everything after is pure garbage collection (readers already ignore
+      // per-round slices ≤ upToRound and any older/partial snapshot)
       df.write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(p("seen_compacted", s"upto=$upToRound"))
-      atomicWrite(hp("seen_compacted"), "_watermark",
-        upToRound.toString.getBytes(StandardCharsets.UTF_8))
       (0 to upToRound).foreach(r => fs.delete(hp("seen", s"round=$r"), true))
-      if (prev >= 0) fs.delete(hp("seen_compacted", s"upto=$prev"), true)
+      // sweep EVERY superseded upto=* dir (committed or partial), not just
+      // the immediately-previous one — orphans from earlier crashes are
+      // collected here instead of accumulating full seen-table copies
+      fs.listStatus(hp("seen_compacted")).foreach { st =>
+        st.getPath.getName match {
+          case uptoRx(n) if n.toInt != upToRound => fs.delete(st.getPath, true)
+          case _ =>
+        }
+      }
     }
   }
 

@@ -556,6 +556,11 @@ object Queries {
         ("protocol", proto, RC.host, "", uri, want.orNull)
       } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
         ("canonical", proto, host, parent, uri, want)
+      } ++ RC.extraCases.flatMap { case (uri, canon, scope, proto) =>
+        // builder-authored goldens: each case pins all three functions
+        Seq(("canonical", "https", RC.extraHost, RC.extraParent, uri, canon),
+          ("scope", "https", RC.extraHost, RC.extraParent, uri, scope),
+          ("protocol", "https", RC.extraHost, RC.extraParent, uri, proto))
       }
     val computedUdf = udf((kind: String, proto: String, host: String,
         parent: String, uri: String) => kind match {
@@ -585,6 +590,10 @@ object Queries {
         Seq(q("protocol"), q(proto), q(RC.host), q(""), q(uri), q(want.orNull))
       } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
         Seq(q("canonical"), q(proto), q(host), q(parent), q(uri), q(want))
+      } ++ RC.extraCases.flatMap { case (uri, canon, scope, proto) =>
+        Seq(Seq(q("canonical"), q("https"), q(RC.extraHost), q(RC.extraParent), q(uri), q(canon)),
+          Seq(q("scope"), q("https"), q(RC.extraHost), q(RC.extraParent), q(uri), q(scope)),
+          Seq(q("protocol"), q("https"), q(RC.extraHost), q(RC.extraParent), q(uri), q(proto)))
       }
     val values = rows.map(r => (r :+ r(5) :+ "true").mkString("(", ", ", ")"))
       .mkString(",\n")

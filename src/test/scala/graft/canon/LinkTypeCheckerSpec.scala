@@ -24,4 +24,14 @@ class LinkTypeCheckerSpec extends AnyFunSuite {
         s"protocol of ('$parent', '$uri')")
     }
   }
+
+  test("builder-authored extra goldens: uppercase scheme, unknown prefixes, file-parent relatives") {
+    import ReferenceCorpus.{extraHost, extraParent, extraCases}
+    val ck = LinkTypeChecker.forHost(extraHost)
+    extraCases.foreach { case (uri, canon, scope, proto) =>
+      assert(UrlCanon.formFullUrl("https", uri, extraHost, Some(extraParent)) == canon, s"canon '$uri'")
+      assert(ck.getUriScope(uri) == Option(scope), s"scope '$uri'")
+      assert(ck.getUriProtocol("https", uri) == Option(proto), s"protocol '$uri'")
+    }
+  }
 }
