@@ -195,7 +195,10 @@ object CrawlJob {
     val pagesCk = pages.localCheckpoint(true)
     var frontier = seedFrontier(spark, seeds).persist()
     var seen = emptySeen(spark).persist()
-    var results: DataFrame = null
+    // per-round result leaves, unioned ONCE after the loop: results are
+    // never read mid-loop, and an incremental union would re-analyze an
+    // O(round)-leaf plan every round (quadratic total Catalyst work)
+    val resultRounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var bloomBytes: Map[Int, Array[Byte]] = Map.empty
     var frontierCount = frontier.count()
@@ -265,12 +268,13 @@ object CrawlJob {
       seen = if ((round + 1) % 8 == 0) grownSeen.localCheckpoint(false)
              else grownSeen.persist()
       frontier = newFrontier
-      results = if (results == null) newResults else results.union(newResults)
+      resultRounds += newResults
       frontierCount = counts.getOrElse("f", 0L)
       round += 1
     }
     robotsCache.unpersist(); resolved.unpersist()
-    if (results == null) spark.emptyDataset[ResultRow].toDF() else results
+    if (resultRounds.isEmpty) spark.emptyDataset[ResultRow].toDF()
+    else resultRounds.reduce(_ union _)
   }
 
   /** Canonical result ordering for parity checks: a contiguous global rank

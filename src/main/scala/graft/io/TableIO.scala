@@ -166,14 +166,16 @@ final class TableIO(spark: SparkSession, root: String) {
     * what [[compactSeen]] bounds. */
   def readSeen(upToRound: Int): Option[DataFrame] = {
     val snaps = snapshotRounds()
-    val usable = snaps.filter(_ <= upToRound)
-    // a snapshot beyond upToRound with no usable one means the per-round
-    // slices this view needs were garbage-collected — fail loudly instead
-    // of silently serving a truncated seen set (duplicate crawls)
-    require(snaps.isEmpty || usable.nonEmpty,
+    // any view older than the NEWEST snapshot may need per-round slices the
+    // compaction already garbage-collected (even when an older snapshot
+    // still survives mid-sweep, its tail dirs are gone) — fail loudly
+    // instead of silently serving a truncated seen set (duplicate crawls).
+    // The engine never asks for such a view: compaction only ever runs on
+    // committed rounds, so every resume point is ≥ the newest snapshot.
+    require(snaps.isEmpty || snaps.max <= upToRound,
       s"seen table is compacted beyond round $upToRound " +
         s"(snapshots at ${snaps.sorted.mkString(",")}) — slices for this view are gone")
-    val w = if (usable.isEmpty) -1 else usable.max
+    val w = snaps.foldLeft(-1)(math.max)
     val useCompacted = w >= 0
     val compacted =
       if (useCompacted)
@@ -181,8 +183,10 @@ final class TableIO(spark: SparkSession, root: String) {
           .parquet(p("seen_compacted", s"upto=$w")).select("url", "bucket"))
       else Seq.empty
     val tailStart = if (useCompacted) w + 1 else 0
+    // bucket= presence, not bare dir existence: a zero-new-seen round
+    // writes only _SUCCESS, and schema inference over such a dir throws
     val dirs = (tailStart to upToRound).map(r => p("seen", s"round=$r"))
-      .filter(d => fs.exists(new HPath(d)))
+      .filter(d => hasBuckets(new HPath(d)))
     val tails =
       if (dirs.isEmpty) Seq.empty
       else Seq(spark.read.option("basePath", p("seen")).parquet(dirs: _*)
@@ -190,15 +194,16 @@ final class TableIO(spark: SparkSession, root: String) {
     (compacted ++ tails).reduceOption(_.union(_))
   }
 
+  /** Does the dir hold at least one bucket= partition (i.e. actual rows)? */
+  private def hasBuckets(dir: HPath): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
+
   /** One round's new-seen slice (url only); None when the round produced
     * no rows — partitionBy writes no part files for an empty DataFrame and
     * schema inference on the bare dir would fail. Probed via the Hadoop
     * FileSystem API (works on HDFS/object stores, not just local disk). */
   def readSeenSlice(round: Int): Option[DataFrame] = {
-    val dir = hp("seen", s"round=$round")
-    val nonEmpty = fs.exists(dir) &&
-      fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
-    if (!nonEmpty) None
+    if (!hasBuckets(hp("seen", s"round=$round"))) None
     else Some(spark.read.option("basePath", p("seen"))
       .parquet(p("seen", s"round=$round")).select("url"))
   }

@@ -539,36 +539,42 @@ object Queries {
         col("n_links"), col("text"))
   }
 
+  /** ONE assembly of the full corpus as
+    * (kind, parent_protocol, host, parent, uri, expected) rows — both the
+    * Spark query and its DuckDB oracle render from this, so they can never
+    * desynchronize. */
+  private lazy val canonCorpusRows: Seq[(String, String, String, String, String, String)] = {
+    import graft.canon.{ReferenceCorpus => RC}
+    RC.scopeCases.map { case (uri, want) =>
+      ("scope", "https", RC.host, "", uri, want.orNull)
+    } ++ RC.protocolCases.map { case (proto, uri, want) =>
+      ("protocol", proto, RC.host, "", uri, want.orNull)
+    } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
+      ("canonical", proto, host, parent, uri, want)
+    } ++ RC.extraCases.flatMap { case (uri, canon, scope, proto) =>
+      // builder-authored goldens: each case pins all three functions
+      Seq(("canonical", "https", RC.extraHost, RC.extraParent, uri, canon),
+        ("scope", "https", RC.extraHost, RC.extraParent, uri, scope),
+        ("protocol", "https", RC.extraHost, RC.extraParent, uri, proto))
+    }
+  }
+
   /** U1–U8 canonicalization + classification over the FULL reference
-    * corpora (scope + protocol + form_full_url, ~102 cases — the data lives
-    * in [[graft.canon.ReferenceCorpus]], shared with the specs; reference:
-    * linkresult/src/link_type_checker.rs:101-163, :207-256,
+    * corpora plus builder goldens (scope + protocol + form_full_url — the
+    * data lives in [[graft.canon.ReferenceCorpus]], shared with the specs;
+    * reference: linkresult/src/link_type_checker.rs:101-163, :207-256,
     * uri_service.rs:157-233). Each row carries the engine-computed value
     * NEXT TO the corpus-expected value plus an `ok` flag, so the driver
     * record is self-evident; every column scalar. */
   def canonCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.canon.{ReferenceCorpus => RC}
-    val rows =
-      RC.scopeCases.map { case (uri, want) =>
-        ("scope", "https", RC.host, "", uri, want.orNull)
-      } ++ RC.protocolCases.map { case (proto, uri, want) =>
-        ("protocol", proto, RC.host, "", uri, want.orNull)
-      } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
-        ("canonical", proto, host, parent, uri, want)
-      } ++ RC.extraCases.flatMap { case (uri, canon, scope, proto) =>
-        // builder-authored goldens: each case pins all three functions
-        Seq(("canonical", "https", RC.extraHost, RC.extraParent, uri, canon),
-          ("scope", "https", RC.extraHost, RC.extraParent, uri, scope),
-          ("protocol", "https", RC.extraHost, RC.extraParent, uri, proto))
-      }
     val computedUdf = udf((kind: String, proto: String, host: String,
         parent: String, uri: String) => kind match {
       case "scope" => graft.canon.LinkTypeChecker.forHost(host).getUriScope(uri).orNull
       case "protocol" => graft.canon.LinkTypeChecker.forHost(host).getUriProtocol(proto, uri).orNull
       case _ => graft.canon.UrlCanon.formFullUrl(proto, uri, host, Some(parent))
     })
-    rows.toDF("kind", "parent_protocol", "host", "parent", "uri", "expected")
+    canonCorpusRows.toDF("kind", "parent_protocol", "host", "parent", "uri", "expected")
       .withColumn("computed", computedUdf(col("kind"), col("parent_protocol"),
         col("host"), col("parent"), col("uri")))
       .withColumn("ok", col("computed") <=> col("expected"))
@@ -578,25 +584,14 @@ object Queries {
   /** DuckDB oracle for [[canonCorpus]]: the corpus' EXPECTED values as a
     * literal VALUES table (computed = expected, ok = true). Not circular —
     * the Spark side emits what the ENGINE computed, so any divergence from
-    * the reference corpus hash-mismatches against this table. */
+    * the pinned corpus hash-mismatches against this table. */
   val canonCorpusSql: String = {
-    import graft.canon.{ReferenceCorpus => RC}
     def q(v: String): String =
       if (v == null) "CAST(NULL AS VARCHAR)" else "'" + v.replace("'", "''") + "'"
-    val rows =
-      RC.scopeCases.map { case (uri, want) =>
-        Seq(q("scope"), q("https"), q(RC.host), q(""), q(uri), q(want.orNull))
-      } ++ RC.protocolCases.map { case (proto, uri, want) =>
-        Seq(q("protocol"), q(proto), q(RC.host), q(""), q(uri), q(want.orNull))
-      } ++ RC.canonCases.map { case (proto, uri, host, parent, want) =>
-        Seq(q("canonical"), q(proto), q(host), q(parent), q(uri), q(want))
-      } ++ RC.extraCases.flatMap { case (uri, canon, scope, proto) =>
-        Seq(Seq(q("canonical"), q("https"), q(RC.extraHost), q(RC.extraParent), q(uri), q(canon)),
-          Seq(q("scope"), q("https"), q(RC.extraHost), q(RC.extraParent), q(uri), q(scope)),
-          Seq(q("protocol"), q("https"), q(RC.extraHost), q(RC.extraParent), q(uri), q(proto)))
-      }
-    val values = rows.map(r => (r :+ r(5) :+ "true").mkString("(", ", ", ")"))
-      .mkString(",\n")
+    val values = canonCorpusRows.map { case (kind, proto, host, parent, uri, want) =>
+      Seq(q(kind), q(proto), q(host), q(parent), q(uri), q(want), q(want), "true")
+        .mkString("(", ", ", ")")
+    }.mkString(",\n")
     s"""SELECT * FROM (VALUES
        |$values
        |) AS t(kind, parent_protocol, host, parent, uri, expected, computed, ok)
