@@ -184,7 +184,14 @@ class CrawlE2ESpec extends AnyFunSuite {
       (202L, 4, 8, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 5, maxRounds = 12, useBloomSeen = true)),
       (303L, 2, 14, CrawlConfig(maxDepth = 4, hostQuotaPerRound = 2, maxRounds = 16, useBloomSeen = false)),
       (404L, 5, 7, CrawlConfig(maxDepth = 2, hostQuotaPerRound = 7, maxRounds = 8, useBloomSeen = true)),
-      (505L, 3, 11, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12, useBloomSeen = false)))
+      (505L, 3, 11, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12, useBloomSeen = false)),
+      // config shapes off the defaults: redirect budget exhausted early
+      // (terminal-3xx path on ordinary chains), redirects ignored entirely
+      // (every chain entry answers its 3xx, no hops recorded), and robots
+      // ignored (disallow_all hosts get fetched)
+      (606L, 4, 10, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 12, maxRedirects = 2, useBloomSeen = false)),
+      (707L, 3, 10, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 10, ignoreRedirects = true, useBloomSeen = true)),
+      (808L, 6, 9, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 10, respectRobots = false, useBloomSeen = false)))
     cases.foreach { case (seed, hosts, per, cfg) =>
       val g = Synth.graph(seed, hosts, per)
       val (results, sim) = runBothInMemory(g, cfg)
