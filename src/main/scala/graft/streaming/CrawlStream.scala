@@ -65,6 +65,36 @@ object CrawlStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  final case class ScheduledFetch(url: String, host: String, not_before_ms: Long)
+
+  /** Streaming politeness scheduler — A1's per-host budget in streaming
+    * form (the reference enforces ≥ crawl_delay_ms between a host's
+    * requests at fetch time, page_loader/src/http/http_client.rs:79-83).
+    * Instead of dropping or buffering over-quota links (a streaming
+    * pipeline has no defer queue), every admitted url is stamped with its
+    * earliest POLITE fetch time: the n-th url a host has ever admitted gets
+    * `not_before_ms = epochMs + n * crawlDelayMs` — a deterministic fetch
+    * calendar downstream fetchers obey. State per host is ONE long (the
+    * admission counter), so the state store is bounded by host count, not
+    * url count; within a micro-batch a host's links are ordered by
+    * (rank, url) so the calendar is reproducible. */
+  def politenessSchedule(spark: SparkSession, links: Dataset[StreamLink],
+      crawlDelayMs: Long, epochMs: Long): Dataset[ScheduledFetch] = {
+    import spark.implicits._
+    links.groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, rows: Iterator[StreamLink], state: GroupState[Long]) => {
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.rank, r.url)).map { r =>
+            val t = epochMs + n * crawlDelayMs
+            n += 1
+            ScheduledFetch(r.url, host, t)
+          }
+          state.update(n)
+          out.iterator
+        })
+  }
+
   /** Per-host politeness ledger: fetches per host per 1-second event-time
     * window, 10-second watermark for late captures. */
   def hostRates(pages: DataFrame): DataFrame =

@@ -71,6 +71,42 @@ class CrawlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("politeness scheduler stamps a deterministic per-host fetch calendar across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import CrawlStream.StreamLink
+    val input = MemoryStream[StreamLink]
+    val epoch = 1700000000000L
+    val delay = 500L
+    val q = CrawlStream.politenessSchedule(spark, input.toDS(), delay, epoch)
+      .writeStream.format("memory").queryName("fetch_calendar")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cs-ckpt4").toString)
+      .start()
+    try {
+      input.addData(
+        StreamLink("https://a.test/1", "a.test", "https://a.test/", 0),
+        StreamLink("https://a.test/2", "a.test", "https://a.test/", 1),
+        StreamLink("https://b.test/1", "b.test", "https://b.test/", 0))
+      q.processAllAvailable()
+      // second batch: the per-host counter must CONTINUE, not restart
+      input.addData(
+        StreamLink("https://a.test/3", "a.test", "https://a.test/", 0),
+        StreamLink("https://b.test/2", "b.test", "https://b.test/", 1))
+      q.processAllAvailable()
+      val cal = spark.table("fetch_calendar")
+        .select("host", "url", "not_before_ms")
+        .as[(String, String, Long)].collect()
+      val byHost = cal.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+      // per host: slots are exactly epoch, epoch+delay, ... (>= delay apart)
+      assert(byHost("a.test").toSeq == Seq(epoch, epoch + delay, epoch + 2 * delay))
+      assert(byHost("b.test").toSeq == Seq(epoch, epoch + delay))
+      // within-batch ordering is by (rank, url): a.test/1 before a.test/2
+      val aFirst = cal.filter(r => r._1 == "a.test" && r._3 == epoch).head._2
+      assert(aFirst == "https://a.test/1")
+    } finally q.stop()
+  }
+
   test("streaming content-dedup passes first occurrence per md5, bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
