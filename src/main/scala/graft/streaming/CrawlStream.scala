@@ -65,6 +65,10 @@ object CrawlStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** One url awaiting its polite fetch slot; `event_ms` is the link's
+    * event time (e.g. discovery time) — a slot is never earlier than it. */
+  final case class FetchRequest(url: String, host: String, event_ms: Long)
+
   final case class ScheduledFetch(url: String, host: String, not_before_ms: Long)
 
   /** Streaming politeness scheduler — A1's per-host budget in streaming
@@ -72,26 +76,31 @@ object CrawlStream {
     * requests at fetch time, page_loader/src/http/http_client.rs:79-83).
     * Instead of dropping or buffering over-quota links (a streaming
     * pipeline has no defer queue), every admitted url is stamped with its
-    * earliest POLITE fetch time: the n-th url a host has ever admitted gets
-    * `not_before_ms = epochMs + n * crawlDelayMs` — a deterministic fetch
-    * calendar downstream fetchers obey. State per host is ONE long (the
-    * admission counter), so the state store is bounded by host count, not
-    * url count; within a micro-batch a host's links are ordered by
-    * (rank, url) so the calendar is reproducible. */
-  def politenessSchedule(spark: SparkSession, links: Dataset[StreamLink],
-      crawlDelayMs: Long, epochMs: Long): Dataset[ScheduledFetch] = {
+    * earliest POLITE fetch time:
+    * `slot = max(event_ms, previous_slot + crawlDelayMs)` — clamped to the
+    * link's own event time, so a host that goes quiet re-anchors to the
+    * present instead of handing out a backlog of already-elapsed slots
+    * (which a fetcher would fire all at once, violating the invariant).
+    * State per host is ONE long (the last slot), so the state store is
+    * bounded by host count; the group iterator is consumed LAZILY (Spark
+    * commits group state after the output iterator drains), so a mega
+    * host's micro-batch is never materialized in one heap. Slot VALUES per
+    * host are deterministic; which url lands on which slot follows the
+    * group's arrival order — pre-sort upstream if that mapping matters. */
+  def politenessSchedule(spark: SparkSession, links: Dataset[FetchRequest],
+      crawlDelayMs: Long): Dataset[ScheduledFetch] = {
     import spark.implicits._
     links.groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (host: String, rows: Iterator[StreamLink], state: GroupState[Long]) => {
-          var n = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(r => (r.rank, r.url)).map { r =>
-            val t = epochMs + n * crawlDelayMs
-            n += 1
-            ScheduledFetch(r.url, host, t)
+        (host: String, rows: Iterator[FetchRequest], state: GroupState[Long]) => {
+          var last: Option[Long] = state.getOption
+          rows.map { r =>
+            val slot = last.map(l => math.max(r.event_ms, l + crawlDelayMs))
+              .getOrElse(r.event_ms)
+            last = Some(slot)
+            state.update(slot)
+            ScheduledFetch(r.url, host, slot)
           }
-          state.update(n)
-          out.iterator
         })
   }
 

@@ -189,13 +189,32 @@ class CrawlE2ESpec extends AnyFunSuite {
       // (terminal-3xx path on ordinary chains), redirects ignored entirely
       // (every chain entry answers its 3xx, no hops recorded), and robots
       // ignored (disallow_all hosts get fetched)
-      (606L, 4, 10, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 12, maxRedirects = 2, useBloomSeen = false)),
-      (707L, 3, 10, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 10, ignoreRedirects = true, useBloomSeen = true)),
+      (606L, 4, 10, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 12, maxRedirects = 1, useBloomSeen = false)),
+      (705L, 3, 10, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 10, ignoreRedirects = true, useBloomSeen = true)),
       (808L, 6, 9, CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 10, respectRobots = false, useBloomSeen = false)))
     cases.foreach { case (seed, hosts, per, cfg) =>
       val g = Synth.graph(seed, hosts, per)
       val (results, sim) = runBothInMemory(g, cfg)
-      assert(sparkRows(results) == simRows(sim.results), s"seed=$seed hosts=$hosts per=$per")
+      val sRows = sparkRows(results)
+      assert(sRows == simRows(sim.results), s"seed=$seed hosts=$hosts per=$per")
+      // the off-default configs must actually EXERCISE their target path —
+      // parity alone passes trivially if the fixture never reaches it
+      if (seed == 606L) // budget-terminal 3xx: 1 hop followed, chain unfinished
+        // guaranteed reachable: host0's root (a seed) links /r/6 and the
+        // 12-long chain makes /r/7 a redirect too — budget 1 stops there
+        assert(sRows.exists(r => r._6 >= 300 && r._6 < 400 && r._13 == 1),
+          "maxRedirects=1 fixture must exhaust a redirect budget")
+      if (seed == 705L) { // redirects never followed: 3xx answered in place
+        // guaranteed reachable: host0's root (a seed) links the live /r/4
+        assert(sRows.exists(r => r._6 >= 300 && r._6 < 400),
+          "ignoreRedirects fixture must hit a redirect entry")
+        assert(sRows.forall(_._13 == 0), "no hop may be followed when ignored")
+      }
+      if (seed == 808L) { // robots off: the disallow_all host gets fetched
+        assert(sRows.exists(r => r._4 == "host1.test" && r._10 == CrawlStatus.Fetched),
+          "respectRobots=false fixture must fetch from the disallow_all host")
+        assert(!sRows.exists(_._10 == CrawlStatus.RestrictedByRobotsTxt))
+      }
     }
   }
 

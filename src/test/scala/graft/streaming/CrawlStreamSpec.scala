@@ -71,13 +71,13 @@ class CrawlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("politeness scheduler stamps a deterministic per-host fetch calendar across batches") {
+  test("politeness scheduler: >= delay spacing per host, continues across batches, re-anchors after idle") {
     implicit val sqlCtx = spark.sqlContext
-    import CrawlStream.StreamLink
-    val input = MemoryStream[StreamLink]
-    val epoch = 1700000000000L
+    import CrawlStream.FetchRequest
+    val input = MemoryStream[FetchRequest]
+    val t0 = 1700000000000L
     val delay = 500L
-    val q = CrawlStream.politenessSchedule(spark, input.toDS(), delay, epoch)
+    val q = CrawlStream.politenessSchedule(spark, input.toDS(), delay)
       .writeStream.format("memory").queryName("fetch_calendar")
       .outputMode("append")
       .option("checkpointLocation",
@@ -85,25 +85,32 @@ class CrawlStreamSpec extends AnyFunSuite {
       .start()
     try {
       input.addData(
-        StreamLink("https://a.test/1", "a.test", "https://a.test/", 0),
-        StreamLink("https://a.test/2", "a.test", "https://a.test/", 1),
-        StreamLink("https://b.test/1", "b.test", "https://b.test/", 0))
+        FetchRequest("https://a.test/1", "a.test", t0),
+        FetchRequest("https://a.test/2", "a.test", t0),
+        FetchRequest("https://b.test/1", "b.test", t0))
       q.processAllAvailable()
-      // second batch: the per-host counter must CONTINUE, not restart
+      // second batch arrives shortly after: a.test's slots must CONTINUE
+      input.addData(FetchRequest("https://a.test/3", "a.test", t0 + 100))
+      q.processAllAvailable()
+      // third batch after a LONG idle gap: the calendar must re-anchor to
+      // the link's event time, not hand out an hour of elapsed slots
+      val idle = t0 + 3600 * 1000L
       input.addData(
-        StreamLink("https://a.test/3", "a.test", "https://a.test/", 0),
-        StreamLink("https://b.test/2", "b.test", "https://b.test/", 1))
+        FetchRequest("https://a.test/4", "a.test", idle),
+        FetchRequest("https://a.test/5", "a.test", idle))
       q.processAllAvailable()
-      val cal = spark.table("fetch_calendar")
-        .select("host", "url", "not_before_ms")
-        .as[(String, String, Long)].collect()
-      val byHost = cal.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
-      // per host: slots are exactly epoch, epoch+delay, ... (>= delay apart)
-      assert(byHost("a.test").toSeq == Seq(epoch, epoch + delay, epoch + 2 * delay))
-      assert(byHost("b.test").toSeq == Seq(epoch, epoch + delay))
-      // within-batch ordering is by (rank, url): a.test/1 before a.test/2
-      val aFirst = cal.filter(r => r._1 == "a.test" && r._3 == epoch).head._2
-      assert(aFirst == "https://a.test/1")
+      val byHost = spark.table("fetch_calendar")
+        .select("host", "not_before_ms").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(byHost("a.test") ==
+        Seq(t0, t0 + delay, t0 + 2 * delay, idle, idle + delay))
+      assert(byHost("b.test") == Seq(t0))
+      // invariant: every host's consecutive slots are >= delay apart
+      byHost.values.foreach(slots =>
+        slots.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a >= delay)
+          case _ =>
+        })
     } finally q.stop()
   }
 
