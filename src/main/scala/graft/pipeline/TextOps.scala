@@ -52,7 +52,7 @@ object TextOps {
     * language. Scoring = count of profile trigram hits per language,
     * normalized by text length; argmax wins, ties broken by language code.
     */
-  private val langProfiles: Map[String, Seq[String]] = Map(
+  val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
     "de" -> Seq ("er ", " de", "der", "ie ", "ein", "ich", "sch", "ch ", "die", "und"),
     "fr" -> Seq(" le", "le ", " de", "de ", "es ", "ent", " la", "la ", "ion", "que"),

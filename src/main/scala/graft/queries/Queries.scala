@@ -460,15 +460,95 @@ object Queries {
       |        / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.7
       |ORDER BY a, b""".stripMargin
 
-  // ---------------- rows-only (not SQL-expressible in the oracle:
-  // langId/fingerprints are per-row Scala kernels, canon/extract are
-  // URL/HTML parsing, crawl_e2e is differentially tested) ----------------
-
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(t(s, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Full-table DuckDB re-computation of the trigram language-ID kernel
+    * (not a pinned VALUES table): per-language hit counts via
+    * non-overlapping `replace` deletion — equal to the Scala kernel's
+    * sliding-window count because no profile trigram self-overlaps
+    * (none has t[0]==t[2] or all-equal chars) — then argmax with the
+    * kernel's exact tie rules (strict >, languages in ascending order ⇒
+    * rank by score DESC, lang ASC; an all-zero score row is 'und').
+    * The profiles VALUES are rendered from [[TextOps.langProfiles]], so
+    * oracle and engine cannot desynchronize. Score arithmetic is the same
+    * IEEE double division (BIGINT hits / BIGINT trigram count) rounded at
+    * 4 decimals on both sides (the repo-wide rational-ratio convention). */
+  val langIdSql: String = {
+    val vals = TextOps.langProfiles.toSeq.sortBy(_._1).flatMap { case (lang, tris) =>
+      tris.map(tri => s"('$lang', '$tri')")
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+       |profiles(lang, tri) AS (VALUES $vals),
+       |hits AS (
+       |  SELECT t.doc_id, p.lang,
+       |         sum((length(t.lt) - length(replace(t.lt, p.tri, ''))) // 3) AS h,
+       |         any_value(length(t.lt)) AS n
+       |  FROM t CROSS JOIN profiles p GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id, lang, h / (n - 2) AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY h / (n - 2) DESC, lang) AS rn
+       |  FROM hits WHERE n >= 3),
+       |best AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess,
+       |    CASE WHEN score > 0 THEN round(score, 4) ELSE 0.0 END AS lang_score
+       |  FROM scored WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(b.lang_guess, 'und') AS lang_guess,
+       |       coalesce(b.lang_score, 0.0) AS lang_score
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Full-table DuckDB re-computation of the Rabin–Karp + winnowing
+    * fingerprint: UTF-8 bytes recovered from `hex(encode(text))` (the
+    * q_media_frames technique), powers of 257 mod 2^61-1 from a recursive
+    * CTE, and each hash as an exact HUGEINT sum — content hash joins byte i
+    * with power n-1-i; each 16-byte window w is the sum over exponents
+    * e-i ∈ [0,15] (the rolling form wh = wh*257 + b+1 expands to exactly
+    * this polynomial). All sums stay < 2^127 (≤ nb terms, each < 2^61), so
+    * the arithmetic is exact; docs shorter than the 16-byte window take the
+    * content hash as their window hash, like the kernel. */
+  val fingerprintSql: String = {
+    val M = (1L << 61) - 1 // the kernel's Mersenne modulus (TextOps.fingerprint)
+    s"""WITH RECURSIVE
+       |m AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |             CAST(octet_length(encode(text)) AS INT) AS nb FROM documents),
+       |p(k, v) AS (
+       |  SELECT 0, CAST(1 AS HUGEINT)
+       |  UNION ALL
+       |  SELECT k + 1, (v * 257) % $M FROM p WHERE k < (SELECT max(nb) FROM m) - 1),
+       |b AS (SELECT doc_id, nb, unnest(range(0, nb)) AS i, hx FROM m),
+       |v AS (SELECT doc_id, nb, i,
+       |        (instr('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+       |      + (instr('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS val
+       |      FROM b),
+       |content AS (
+       |  SELECT v.doc_id,
+       |    CAST(sum(((CAST(v.val AS HUGEINT) + 1) * p.v) % $M) % $M AS BIGINT) AS ch
+       |  FROM v JOIN p ON p.k = v.nb - 1 - v.i GROUP BY 1),
+       |wins AS (SELECT doc_id, unnest(range(15, nb)) AS e FROM m WHERE nb >= 16),
+       |winh AS (
+       |  SELECT w.doc_id, w.e,
+       |    CAST(sum(((CAST(v.val AS HUGEINT) + 1) * p.v) % $M) % $M AS BIGINT) AS wh
+       |  FROM wins w
+       |  JOIN v ON v.doc_id = w.doc_id AND v.i >= w.e - 15 AND v.i <= w.e
+       |  JOIN p ON p.k = w.e - v.i
+       |  GROUP BY 1, 2),
+       |minwin AS (SELECT doc_id, min(wh) AS mwh FROM winh GROUP BY 1)
+       |SELECT m.doc_id, coalesce(c.ch, 0) AS content_hash,
+       |  CASE WHEN m.nb >= 16 THEN mw.mwh ELSE coalesce(c.ch, 0) END AS min_window_hash
+       |FROM m LEFT JOIN content c ON c.doc_id = m.doc_id
+       |LEFT JOIN minwin mw ON mw.doc_id = m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
+  // ---------------- rows-only (not SQL-expressible in the oracle:
+  // canon/extract are URL/HTML parsing, crawl_e2e is differentially
+  // tested against SimCrawler) ----------------
 
   def mediaFrames(s: SparkSession, dir: String): DataFrame =
     MediaOps.frameFeatures(t(s, dir, "documents"))
@@ -676,5 +756,7 @@ object Queries {
     "q_embed_mplsh_top1" -> embedMpLshTop1Sql,
     "q_cosine_neardups" -> cosineNearDupPairsSql,
     "q_media_stats" -> mediaStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_fingerprint" -> fingerprintSql,
     "q_canon_corpus" -> canonCorpusSql)
 }

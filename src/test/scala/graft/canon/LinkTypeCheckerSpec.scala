@@ -11,7 +11,7 @@ class LinkTypeCheckerSpec extends AnyFunSuite {
   private val checker = LinkTypeChecker.forHost(ReferenceCorpus.host)
 
   test("get_uri_scope returns correct type (reference corpus incl. share urls)") {
-    assert(ReferenceCorpus.scopeCases.size >= 42, "full corpus expected")
+    assert(ReferenceCorpus.scopeCases.size >= 43, "full corpus expected")
     ReferenceCorpus.scopeCases.foreach { case (uri, expected) =>
       assert(checker.getUriScope(uri) == expected, s"scope of '$uri'")
     }
