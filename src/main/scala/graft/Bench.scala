@@ -58,8 +58,12 @@ object Bench {
       .write.mode("overwrite").parquet(s"$dir/seen")
   }
 
-  // distinct host count per (dir, limit) — computed once OUTSIDE the timed
-  // region, reused across rounds for the post-action quota cross-check
+  // distinct host count per (session, dir, limit) — computed once OUTSIDE
+  // the timed region, reused across the session's rounds for the post-action
+  // quota cross-check. Keyed by applicationId: limit(N) samples different
+  // rows under different scan configs (local[N] default splits vs the
+  // scaling sessions' 16 MB caps), so a count cached from one session could
+  // spuriously fail another session's quota assert.
   private val hostCountCache = scala.collection.mutable.Map.empty[String, Long]
 
   /** One schedule+dedup round over the on-disk input; returns (rows out,
@@ -72,7 +76,8 @@ object Bench {
     val frontier0 = spark.read.parquet(s"$dir/frontier")
     val frontier = if (limitN > 0) frontier0.limit(limitN.toInt) else frontier0
     val inputN = frontier.count()
-    val nHosts = hostCountCache.getOrElseUpdate(s"$dir#$limitN",
+    val nHosts = hostCountCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}#$dir#$limitN",
       frontier.select(col("host")).distinct().count())
     val seen = spark.read.parquet(s"$dir/seen")
     val cfg = CrawlConfig(hostQuotaPerRound = quota, saltBuckets = 64,
@@ -242,16 +247,25 @@ object Bench {
       spark.range(1L << 20).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/documents.parquet").limit(1000).collect()
       // best-of-R per query (min time): one noisy VM slot cannot masquerade
-      // as a per-query regression (the r2 q_host_topk 1.8s→3.1s artifact)
+      // as a per-query regression (the r2 q_host_topk 1.8s→3.1s artifact).
+      // A crashing query is recorded as an ERROR (Left), never as its
+      // fast-fail time — a swallowed failure would silently IMPROVE the
+      // bench total, so the artifact is structurally incapable of it.
       headline.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
-        val times = (1 to queryReps).map { _ =>
+        val outcomes: Seq[Either[String, Double]] = (1 to queryReps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+          }
         }
-        name -> times.min
+        val ok = outcomes.collect { case Right(t) => t }
+        name -> (if (ok.nonEmpty) Right(ok.min)
+                 else Left(outcomes.collectFirst { case Left(m) => m }.get))
       }
     }
 
@@ -368,11 +382,16 @@ object Bench {
       }
     }
 
-    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum
+    val qs = queryTimes.map {
+      case (k, Right(v)) => f""""$k":$v%.3f"""
+      case (k, Left(m)) =>
+        s""""$k":"ERROR ${m.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString("{", ",", "}")
+    val errs = queryTimes.count(_._2.isLeft)
+    val total = queryTimes.collect { case (_, Right(v)) => v }.sum
     val rawRounds = roundLog.map { case (tag, r) => f"""["$tag",$r%.0f]""" }
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$queryReps,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"threads","frontier_urls":$frontierN,"cores_n":$threadCores,"rows_out":$outN,"rate_n":$rateN%.1f,"cores_4n":${threadCores * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"rounds_per_level":$kRounds,"pair_rates":$allRates,"round_rates":$rawRounds}$execJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"query_reps":$queryReps,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"threads","frontier_urls":$frontierN,"cores_n":$threadCores,"rows_out":$outN,"rate_n":$rateN%.1f,"cores_4n":${threadCores * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"rounds_per_level":$kRounds,"pair_rates":$allRates,"round_rates":$rawRounds}$execJson}""")
   }
 }

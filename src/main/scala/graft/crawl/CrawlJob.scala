@@ -102,8 +102,9 @@ object CrawlJob {
       val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts)
 
       // persist first, commit manifest last (atomic) — exact-resume contract
-      io.writeResults(round, out.results)
-      if (cfg.exportJsonl) io.writeResultsJsonl(round, out.results)
+      val stamped = FrontierRound.stampTimings(out.results, round, cfg)
+      io.writeResults(round, stamped)
+      if (cfg.exportJsonl) io.writeResultsJsonl(round, stamped)
       io.writeSeen(round, out.newSeen
         .withColumn("bucket", pmod(xxhash64(col("url")), lit(cfg.seenBuckets))))
       io.writeFrontier(round, out.newFrontier)
@@ -229,8 +230,11 @@ object CrawlJob {
         .localCheckpoint(false)
       val resultCols = out.results.columns
       val frontierCols = out.newFrontier.columns
-      val newResults = unified.filter(col("__kind") === "r")
-        .select(resultCols.map(col): _*).withColumn("round", lit(round))
+      // round + absolute timings attach ABOVE the checkpoint leaf (changing
+      // literals inside the round tree would bust the codegen cache)
+      val newResults = FrontierRound.stampTimings(
+        unified.filter(col("__kind") === "r").select(resultCols.map(col): _*),
+        round, cfg).withColumn("round", lit(round))
       val tc1 = System.nanoTime()
       val newFrontier = unified.filter(col("__kind") === "f")
         .select(frontierCols.map(col): _*)

@@ -23,6 +23,10 @@ final case class PageLinks(n_links: Int, children: Seq[ChildLink])
   */
 object FrontierRound {
 
+  /** DDL of the per-hop redirect chain ([[graft.model.RedirectHop]]). */
+  val chainType: String =
+    "array<struct<source:string,destination:string,status:int,headers:map<string,string>>>"
+
   // ---------- UDFs (pure; never marked nondeterministic) ----------
 
   val hostOfUdf = udf((u: String) => UrlCanon.hostOf(u).getOrElse(""))
@@ -89,13 +93,24 @@ object FrontierRound {
     */
   def resolveRedirects(spark: SparkSession, redirects: DataFrame, cfg: CrawlConfig): DataFrame = {
     import spark.implicits._
+    // hop headers: optional fixture column (keys lowercased on ingestion —
+    // F9, same rule as page headers); absent/null rows get the minimal
+    // faithful map — a followed redirect response always carried at least
+    // its location header (fetch_header_command.rs:47-52 reads it from the
+    // response whose full header map rides the hop)
+    val defaultHopHeaders = map(lit("location"), col("location"))
+    val hopHeaders =
+      if (redirects.columns.contains("headers"))
+        coalesce(transform_keys(col("headers"), (k, _) => lower(k)), defaultHopHeaders)
+      else defaultHopHeaders
     val r = redirects.select(
-      col("src_url"), col("location"), col("status").cast("int"))
+      col("src_url"), col("location"), col("status").cast("int"),
+      hopHeaders.as("hop_headers"))
       .withColumn("dest", canonUdf(protocolOfUdf(col("src_url")), col("location"),
         hostOfUdf(col("src_url")), col("src_url")))
       .cache()
 
-    val emptyChain = array().cast("array<struct<source:string,destination:string,status:int>>")
+    val emptyChain = array().cast(FrontierRound.chainType)
 
     if (cfg.ignoreRedirects || cfg.maxRedirects == 0) {
       // HEAD answers 3xx but the chain is never followed (run_config
@@ -105,25 +120,28 @@ object FrontierRound {
         col("status").as("terminal_status"), emptyChain.as("redirects"))
     }
 
-    def hop(source: Column, destination: Column, status: Column): Column =
-      struct(source.as("source"), destination.as("destination"), status.as("status"))
+    def hop(source: Column, destination: Column, status: Column, headers: Column): Column =
+      struct(source.as("source"), destination.as("destination"), status.as("status"),
+        headers.as("headers"))
 
     var resolved = r.select(
       col("src_url").as("start_url"), col("dest").as("cur_url"),
       lit(1).as("n_redirects"), col("status").as("last_status"),
-      array(hop(col("src_url"), col("dest"), col("status"))).as("chain"))
+      array(hop(col("src_url"), col("dest"), col("status"), col("hop_headers"))).as("chain"))
     var done: DataFrame = null
     var hops = 1
     // follow while n_redirects < maxRedirects allows another hop
     while (hops < cfg.maxRedirects) {
       val joined = resolved.join(r.select(col("src_url").as("j_src"), col("dest").as("j_dest"),
-        col("status").as("j_status")), resolved("cur_url") === col("j_src"), "left")
+        col("status").as("j_status"), col("hop_headers").as("j_headers")),
+        resolved("cur_url") === col("j_src"), "left")
       val terminal = joined.filter(col("j_src").isNull)
         .select(col("start_url"), col("cur_url"), col("n_redirects"), col("last_status"), col("chain"))
       val continuing = joined.filter(col("j_src").isNotNull)
         .select(col("start_url"), col("j_dest").as("cur_url"),
           (col("n_redirects") + 1).as("n_redirects"), col("j_status").as("last_status"),
-          concat(col("chain"), array(hop(col("cur_url"), col("j_dest"), col("j_status")))).as("chain"))
+          concat(col("chain"), array(hop(col("cur_url"), col("j_dest"), col("j_status"),
+            col("j_headers")))).as("chain"))
       done = if (done == null) terminal else done.union(terminal)
       resolved = continuing
       hops += 1
@@ -149,8 +167,31 @@ object FrontierRound {
 
   // ---------- the round ----------
 
+  /** Convert the round-relative `fetch_offset_ms` emitted by [[run]] into
+    * the absolute virtual-clock stamps of [[graft.model.ResultRow]]
+    * (`fetch_start_ms`/`fetch_end_ms`). Applied by the drivers ABOVE the
+    * round's plan (the in-memory loop applies it above its checkpoint
+    * leaf): `round` is a changing literal, and embedding it inside the
+    * otherwise identically-shaped round tree would bust the generated-code
+    * cache every round. */
+  def stampTimings(results: DataFrame, round: Int, cfg: CrawlConfig): DataFrame = {
+    val slotMs = cfg.crawlDelayMs.toLong + 1L
+    val roundBase = cfg.virtualEpochMs + round.toLong * cfg.hostQuotaPerRound * slotMs
+    val start = lit(roundBase) + col("fetch_offset_ms")
+    results
+      .withColumn("fetch_start_ms", start)
+      // rows with an HTTP exchange occupy their politeness window; pure
+      // gate decisions (depth/robots) are zero-duration in virtual time
+      .withColumn("fetch_end_ms", start + when(
+        col("crawl_status").isin(CrawlStatus.Fetched, CrawlStatus.ConnectionError),
+        cfg.crawlDelayMs.toLong).otherwise(0L))
+      .drop("fetch_offset_ms")
+  }
+
   final case class RoundOutput(
-      results: DataFrame,     // ResultRow schema
+      results: DataFrame,     // ResultRow schema, minus round and with
+                              // fetch_offset_ms in place of the absolute
+                              // fetch_start/end_ms — see [[stampTimings]]
       newSeen: DataFrame,     // (url)
       newFrontier: DataFrame, // FrontierEntry schema (frontier for next round)
       cached: Seq[DataFrame]) // round-scoped persisted intermediates
@@ -203,24 +244,30 @@ object FrontierRound {
       megaHosts: Seq[String] = Seq.empty): DataFrame = {
     val k = cfg.hostQuotaPerRound
     val whost = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
+    // host_slot = the politeness rank (1-based) of a SCHEDULED row within
+    // its host — the row's position in the host's polite fetch calendar
+    // (feeds the virtual-clock timings, see [[stampTimings]]); null on
+    // deferred rows (they have no slot this round)
+    def slotted(df: DataFrame, rn: Column): DataFrame = df
+      .withColumn("is_scheduled", rn <= k)
+      .withColumn("host_slot", when(rn <= k, rn))
     if (megaHosts.isEmpty) {
-      frontier.withColumn("__rn", row_number().over(whost))
-        .withColumn("is_scheduled", col("__rn") <= k).drop("__rn")
+      slotted(frontier.withColumn("__rn", row_number().over(whost)), col("__rn"))
+        .drop("__rn")
     } else {
       val isMega = col("host").isin(megaHosts: _*)
-      val normal = frontier.filter(!isMega)
-        .withColumn("__rn", row_number().over(whost))
-        .withColumn("is_scheduled", col("__rn") <= k).drop("__rn")
+      val normal = slotted(frontier.filter(!isMega)
+        .withColumn("__rn", row_number().over(whost)), col("__rn")).drop("__rn")
       val p1 = frontier.filter(isMega)
         .withColumn("__salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets.toLong)))
         .withColumn("__rn1", row_number().over(
           Window.partitionBy(col("host"), col("__salt")).orderBy(prioOrder: _*)))
         .drop("__salt")
-      val surv = p1.filter(col("__rn1") <= k).drop("__rn1")
-        .withColumn("__rn2", row_number().over(whost))
-        .withColumn("is_scheduled", col("__rn2") <= k).drop("__rn2")
+      val surv = slotted(p1.filter(col("__rn1") <= k).drop("__rn1")
+        .withColumn("__rn2", row_number().over(whost)), col("__rn2")).drop("__rn2")
       val rest = p1.filter(col("__rn1") > k).drop("__rn1")
         .withColumn("is_scheduled", lit(false))
+        .withColumn("host_slot", lit(null).cast("int"))
       normal.unionByName(surv).unionByName(rest)
     }
   }
@@ -235,7 +282,7 @@ object FrontierRound {
     val flagged = scheduleFlagged(frontier, cfg, megaHosts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (flagged.filter(col("is_scheduled")).drop("is_scheduled"),
-      flagged.filter(!col("is_scheduled")).drop("is_scheduled"),
+      flagged.filter(!col("is_scheduled")).drop("is_scheduled", "host_slot"),
       Seq(flagged))
   }
 
@@ -361,9 +408,17 @@ object FrontierRound {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---------- results ----------
-    val chainType = "array<struct<source:string,destination:string,status:int>>"
     val nullChain = lit(null).cast(chainType)
     val nullHeaders = lit(null).cast("map<string,string>")
+    // round-relative start of the row's politeness slot on the virtual
+    // fetch calendar: slot s of a host fires at (s−1)·(delay+1) after the
+    // round opens (+1 = the reference's strictly-greater gate, is_blocked
+    // holds while elapsed <= rate_limiting_ms, http_client.rs:79-83).
+    // [[stampTimings]] adds the round's absolute base — `round` is a
+    // changing literal and must stay OUT of this (identically-shaped,
+    // codegen-cached) round tree.
+    val fetchOffset = ((col("host_slot") - 1).cast("long") *
+      (cfg.crawlDelayMs.toLong + 1L)).as("fetch_offset_ms")
 
     val statusResults = depthRejected
       .withColumn("crawl_status", lit(CrawlStatus.MaximumCrawlDepthReached))
@@ -375,7 +430,8 @@ object FrontierRound {
         nullHeaders.as("headers"), col("crawl_status"),
         col("depth"), col("priority"), lit(0).as("n_redirects"),
         nullChain.as("redirects"),
-        lit(-1).as("n_links"), lit(null).cast("string").as("text"))
+        lit(-1).as("n_links"), lit(null).cast("string").as("text"),
+        fetchOffset)
 
     val connResults = headed.filter(connError)
       .select(col("url"), col("raw_url"), col("host"),
@@ -386,7 +442,8 @@ object FrontierRound {
         lit(CrawlStatus.ConnectionError).as("crawl_status"),
         col("depth"), col("priority"), lit(0).as("n_redirects"),
         nullChain.as("redirects"),
-        lit(-1).as("n_links"), lit(null).cast("string").as("text"))
+        lit(-1).as("n_links"), lit(null).cast("string").as("text"),
+        fetchOffset)
 
     val fetchResults = fetched
       .select(col("url"), col("raw_url"), col("host"),
@@ -400,7 +457,8 @@ object FrontierRound {
         // (head_response.rs:9-17: redirects is a Vec, never absent)
         coalesce(col("redirects"), array().cast(chainType)).as("redirects"),
         coalesce(col("pl.n_links"), lit(-1)).as("n_links"),
-        when(col("should_download"), col("pg_text")).otherwise(lit(null).cast("string")).as("text"))
+        when(col("should_download"), col("pg_text")).otherwise(lit(null).cast("string")).as("text"),
+        fetchOffset)
 
     val results = statusResults.unionByName(connResults).unionByName(fetchResults)
 

@@ -68,10 +68,19 @@ final class TableIO(spark: SparkSession, root: String) {
     * `PageResponse` JSON per page to the callback url,
     * server/src/http.rs:46-84). One JSON object per line
     * (`to_json(struct(*))` — binary `priority` renders as base64), written
-    * NEXT TO the parquet results, never instead of them. */
+    * NEXT TO the parquet results, never instead of them. The reference's
+    * `response_timings` field ({start_time, end_time, name} with
+    * name = "PageResponse.{url}", responses/src/response_timings.rs:5-10)
+    * is rendered from the row's VIRTUAL clock stamps — same schema, but
+    * deterministic where the reference stamps wall time. */
   def writeResultsJsonl(round: Int, df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, struct, to_json}
+    import org.apache.spark.sql.functions.{col, concat, date_format, lit, struct, timestamp_millis, to_json}
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSS 'UTC'" // DateTime<Utc>.to_string shape
     val d = df.drop("round")
+      .withColumn("response_timings", struct(
+        date_format(timestamp_millis(col("fetch_start_ms")), fmt).as("start_time"),
+        date_format(timestamp_millis(col("fetch_end_ms")), fmt).as("end_time"),
+        concat(lit("PageResponse."), col("url")).as("name")))
     d.select(to_json(struct(d.columns.map(col): _*)).as("value"))
       .write.mode(SaveMode.Overwrite).text(p("results_jsonl", s"round=$round"))
   }

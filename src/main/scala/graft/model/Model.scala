@@ -21,14 +21,23 @@ final case class Page(
     headers: Map[String, String] = null,
     http_status: Integer = null)
 
-/** One followed redirect hop (reference: responses/src/redirect.rs:9-16 —
-  * headers/timings omitted: per-row wall clocks are nondeterministic and
-  * hop headers carry no downstream signal in the batch model). */
-final case class RedirectHop(source: String, destination: String, status: Int)
+/** One followed redirect hop (reference: responses/src/redirect.rs:9-16).
+  * `headers` is the hop RESPONSE's header map, keys lowercased (the
+  * reference stores `response_headers_to_map(&response)` on every followed
+  * hop, fetch_header_command.rs:73-90); per-hop wall-clock timings are
+  * replaced by the row-level virtual timings on [[ResultRow]] (deterministic
+  * by design). */
+final case class RedirectHop(source: String, destination: String, status: Int,
+    headers: Map[String, String])
 
-/** Synthesized redirect fixture: HEAD on src_url answers (status, location)
+/** Synthesized redirect fixture: HEAD on src_url answers (status, location).
+  * `headers` is an OPTIONAL fixture extension (detected by name, like
+  * [[Page.headers]]): the hop response's full header map. When absent/null
+  * the engine synthesizes the minimal faithful map — a followed redirect
+  * response always carried at least its `location` header
   * (reference: fetch_header_command.rs:31-69). */
-final case class RedirectRow(src_url: String, location: String, status: Int)
+final case class RedirectRow(src_url: String, location: String, status: Int,
+    headers: Map[String, String] = null)
 
 /** Synthesized robots fixture: GET host/robots.txt answered (status, body)
   * (reference: robots_service.rs:55-110). */
@@ -72,7 +81,15 @@ final case class CrawlConfig(
       * thousands of rounds the per-round union is a small-files/listing
       * problem whose cost grows with round count, not seen size. */
     seenCompactEvery: Int = 64,
-    maxRounds: Int = 1000)
+    maxRounds: Int = 1000,
+    /** Anchor of the VIRTUAL politeness clock that stamps
+      * [[ResultRow.fetch_start_ms]]/[[ResultRow.fetch_end_ms]] (the
+      * deterministic stand-in for the reference's per-request wall-clock
+      * ResponseTimings, responses/src/response_timings.rs:5-10). Round r,
+      * host-slot s is fetched at
+      * `virtualEpochMs + r·quota·(delay+1) + (s−1)·(delay+1)` — the fetch
+      * calendar a polite fetcher executing the schedule would realize. */
+    virtualEpochMs: Long = 1700000000000L)
 
 /** One frontier entry. `priority` is a binary lineage path: 4 big-endian
   * bytes of link-rank per depth level. Ordering by (depth, priority, url) is
@@ -115,7 +132,14 @@ final case class ResultRow(
     n_redirects: Int,
     redirects: Seq[RedirectHop], // per-hop chain (R1); null when no HTTP HEAD ran
     n_links: Int,               // -1 when no body was parsed
-    text: String)               // byte-identical per url (north_rule invariant)
+    text: String,               // byte-identical per url (north_rule invariant)
+    fetch_start_ms: Long,       // virtual politeness clock (PageResponse
+                                // response_timings parity, deterministic —
+                                // see CrawlConfig.virtualEpochMs)
+    fetch_end_ms: Long)         // = start + crawlDelayMs when an HTTP
+                                // exchange happened (Fetched/ConnectionError),
+                                // else = start (gate decisions are
+                                // zero-duration in virtual time)
 
 object CrawlStatus {
   val Fetched = "Fetched"

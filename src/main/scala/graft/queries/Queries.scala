@@ -616,7 +616,8 @@ object Queries {
         col("crawl_status"), col("depth"), col("n_redirects"),
         to_json(col("redirects")).as("redirects"),
         to_json(col("headers")).as("headers"),
-        col("n_links"), col("text"))
+        col("n_links"), col("text"),
+        col("fetch_start_ms"), col("fetch_end_ms"))
   }
 
   /** ONE assembly of the full corpus as

@@ -77,16 +77,23 @@ object CrawlStream {
     * Instead of dropping or buffering over-quota links (a streaming
     * pipeline has no defer queue), every admitted url is stamped with its
     * earliest POLITE fetch time:
-    * `slot = max(event_ms, previous_slot + crawlDelayMs)` — clamped to the
-    * link's own event time, so a host that goes quiet re-anchors to the
+    * `slot = max(event_ms, previous_slot + crawlDelayMs + 1)` — the +1
+    * matches the reference gate exactly: `is_blocked` holds while
+    * `elapsed <= rate_limiting_ms` (http_client.rs:79-83), so the first
+    * allowed millisecond is strictly past the delay, not at it. The
+    * event-time clamp means a host that goes quiet re-anchors to the
     * present instead of handing out a backlog of already-elapsed slots
     * (which a fetcher would fire all at once, violating the invariant).
     * State per host is ONE long (the last slot), so the state store is
-    * bounded by host count; the group iterator is consumed LAZILY (Spark
-    * commits group state after the output iterator drains), so a mega
-    * host's micro-batch is never materialized in one heap. Slot VALUES per
-    * host are deterministic; which url lands on which slot follows the
-    * group's arrival order — pre-sort upstream if that mapping matters. */
+    * bounded by host count. Each host's micro-batch slice is SORTED by
+    * (event_ms, url) before slots are assigned: group-iterator order is not
+    * stable across micro-batch replays, so without the sort a
+    * failure-recovery replay could append different url→slot pairings than
+    * the original attempt (Append-mode sinks would then hold both). The
+    * sort materializes one host's slice of one micro-batch — bounded by the
+    * trigger (maxFilesPerTrigger / maxOffsetsPerTrigger), not by the host's
+    * total url count, so a mega-host is a trigger-sizing concern, not a
+    * heap one. */
   def politenessSchedule(spark: SparkSession, links: Dataset[FetchRequest],
       crawlDelayMs: Long): Dataset[ScheduledFetch] = {
     import spark.implicits._
@@ -94,8 +101,8 @@ object CrawlStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (host: String, rows: Iterator[FetchRequest], state: GroupState[Long]) => {
           var last: Option[Long] = state.getOption
-          rows.map { r =>
-            val slot = last.map(l => math.max(r.event_ms, l + crawlDelayMs))
+          rows.toArray.sortBy(r => (r.event_ms, r.url)).iterator.map { r =>
+            val slot = last.map(l => math.max(r.event_ms, l + crawlDelayMs + 1))
               .getOrElse(r.event_ms)
             last = Some(slot)
             state.update(slot)

@@ -127,12 +127,18 @@ object Synth {
     val redirects = (0 until hosts).flatMap { h =>
       val chainLen = if (h == 0) 12 else (mix(seed, 17, h) % 3 + 1).toInt
       (0 until 8).flatMap { n =>
-        if (n < chainLen)
-          Some(RedirectRow(s"https://${host(h)}/r/$n",
-            if (n + 1 < chainLen && n + 1 < 8) s"/r/${n + 1}"
-            else s"/page/${(mix(seed, 18, h, n) % pagesPerHost).toInt}",
-            if (n % 2 == 0) 301 else 302))
-        else None
+        if (n < chainLen) {
+          val loc = if (n + 1 < chainLen && n + 1 < 8) s"/r/${n + 1}"
+            else s"/page/${(mix(seed, 18, h, n) % pagesPerHost).toInt}"
+          // ~1/3 of hops carry an explicit response-header fixture with
+          // MIXED-case keys (the engine must lowercase them — F9 applies to
+          // hop headers too); the rest leave headers null and take the
+          // synthesized location-only default
+          val hdrs = if (mix(seed, 19, h, n) % 3 == 0)
+            Map("Location" -> loc, "X-Redirect-By" -> s"synth-$h") else null
+          Some(RedirectRow(s"https://${host(h)}/r/$n", loc,
+            if (n % 2 == 0) 301 else 302, hdrs))
+        } else None
       }
     }
 

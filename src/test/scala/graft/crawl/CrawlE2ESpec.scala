@@ -19,19 +19,20 @@ class CrawlE2ESpec extends AnyFunSuite {
       .map(x => f"$x%02x").mkString
 
   private type Row = (Int, String, String, String, String, Int, String, String,
-    String, String, Int, String, Int, String, Int, String)
-
-  private def chainStr(hops: Seq[(String, String, Int)]): String =
-    hops.map(h => s"${h._1}>${h._2}#${h._3}").mkString("|")
+    String, String, Int, String, Int, String, Int, String, Long, Long)
 
   // canonical scalar render of a headers map (sorted keys) for comparison
   private def hdrStr(m: collection.Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
 
+  private def chainStr(hops: Seq[SimCrawler.SimHop]): String =
+    hops.map(h => s"${h._1}>${h._2}#${h._3}@${hdrStr(h._4)}").mkString("|")
+
   private def sparkRows(results: org.apache.spark.sql.DataFrame): Seq[Row] =
     results.collect().map { r =>
       val chain = Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("redirects"))
-        .map(hops => chainStr(hops.toSeq.map(h => (h.getString(0), h.getString(1), h.getInt(2)))))
+        .map(hops => chainStr(hops.toSeq.map(h => (h.getString(0), h.getString(1), h.getInt(2),
+          h.getAs[collection.Map[String, String]](3).toMap))))
       (r.getAs[Int]("round"), r.getAs[String]("url"), r.getAs[String]("raw_url"),
         r.getAs[String]("host"),
         Option(r.getAs[String]("final_url")).orNull, r.getAs[Int]("http_code"),
@@ -41,7 +42,8 @@ class CrawlE2ESpec extends AnyFunSuite {
         r.getAs[String]("crawl_status"),
         r.getAs[Int]("depth"), hex(r.getAs[Array[Byte]]("priority")),
         r.getAs[Int]("n_redirects"), chain.orNull, r.getAs[Int]("n_links"),
-        Option(r.getAs[String]("text")).orNull)
+        Option(r.getAs[String]("text")).orNull,
+        r.getAs[Long]("fetch_start_ms"), r.getAs[Long]("fetch_end_ms"))
     }.toSeq.sortBy(r => (r._1, r._11, r._12, r._2))
 
   private def simRows(results: Seq[SimCrawler.SimResult]): Seq[Row] =
@@ -50,7 +52,8 @@ class CrawlE2ESpec extends AnyFunSuite {
         r.statusLabel.orNull,
         r.contentType.orNull, r.headers.map(hdrStr).orNull,
         r.status, r.depth, hex(r.priority),
-        r.nRedirects, r.redirects.map(chainStr).orNull, r.nLinks, r.text.orNull)
+        r.nRedirects, r.redirects.map(chainStr).orNull, r.nLinks, r.text.orNull,
+        r.fetchStartMs, r.fetchEndMs)
     }.sortBy(r => (r._1, r._11, r._12, r._2))
 
   private def runBoth(g: Synth.Graph, cfg: CrawlConfig, tag: String) = {
@@ -317,6 +320,13 @@ class CrawlE2ESpec extends AnyFunSuite {
         val jsSet = js.select("url", "crawl_status", "http_code").collect()
           .map(x => (x.getString(0), x.getString(1), x.getLong(2).toInt)).toSet
         assert(jsSet == pqSet, s"round $r rows")
+        // PageResponse-parity timings ride every exported line
+        // (response_timings.rs:5-10: {start_time, end_time, name})
+        js.select("url", "response_timings.name", "response_timings.start_time",
+            "response_timings.end_time").collect().foreach { x =>
+          assert(x.getString(1) == s"PageResponse.${x.getString(0)}")
+          assert(x.getString(2).endsWith(" UTC") && x.getString(3).endsWith(" UTC"))
+        }
       }
     }
   }

@@ -16,14 +16,18 @@ object SimCrawler {
   final case class SimEntry(url: String, rawUrl: String, host: String,
       protocol: String, depth: Int, priority: Vector[Int])
 
+  /** One redirect hop: (source, destination, status, response headers). */
+  type SimHop = (String, String, Int, Map[String, String])
+
   final case class SimResult(round: Int, url: String, rawUrl: String,
       host: String,
       finalUrl: Option[String], httpCode: Int, statusLabel: Option[String],
       contentType: Option[String],
       headers: Option[Map[String, String]],
       status: String, depth: Int, priority: Vector[Int], nRedirects: Int,
-      redirects: Option[Seq[(String, String, Int)]],
-      nLinks: Int, text: Option[String])
+      redirects: Option[Seq[SimHop]],
+      nLinks: Int, text: Option[String],
+      fetchStartMs: Long, fetchEndMs: Long)
 
   final case class SimOutput(results: Seq[SimResult], seen: Set[String], rounds: Int)
 
@@ -55,20 +59,35 @@ object SimCrawler {
     var round = 0
 
     while (frontier.nonEmpty && round < cfg.maxRounds) {
-      // politeness: exact per-host top-k by canonical priority
+      // politeness: exact per-host top-k by canonical priority. The slot
+      // index (position in the host's top-k, 0-based) is assigned HERE,
+      // before the seen check below: a silently-skipped url still consumed
+      // its calendar slot (the engine flags slots at scheduling time too).
       val byHost = frontier.groupBy(_.host)
-      val scheduled = byHost.values.flatMap(_.sorted(prioOrd).take(cfg.hostQuotaPerRound)).toVector.sorted(prioOrd)
-      val scheduledUrls = scheduled.map(_.url).toSet
+      val scheduled = byHost.values
+        .flatMap(_.sorted(prioOrd).take(cfg.hostQuotaPerRound).zipWithIndex)
+        .toVector.sortBy(_._1)(prioOrd)
+      val scheduledUrls = scheduled.map(_._1.url).toSet
       val deferred = frontier.filterNot(e => scheduledUrls.contains(e.url))
+
+      // virtual politeness clock (independent restatement of the engine's
+      // stampTimings rule): slot s fires (delay+1) ms after slot s-1 — the
+      // reference gate is strictly-greater (is_blocked while
+      // elapsed <= rate_limiting_ms); HTTP rows occupy their window
+      val slotMs = cfg.crawlDelayMs.toLong + 1L
+      val roundBase = cfg.virtualEpochMs + round.toLong * cfg.hostQuotaPerRound * slotMs
+      def startOf(slotIdx: Int): Long = roundBase + slotIdx * slotMs
 
       val newSeen = scala.collection.mutable.LinkedHashSet.empty[String]
       val childCandidates = scala.collection.mutable.ArrayBuffer.empty[SimEntry]
 
-      scheduled.foreach { e =>
+      scheduled.foreach { case (e, slotIdx) =>
+        val t0 = startOf(slotIdx)
         if (!seen.contains(e.url)) { // round-start snapshot, silent skip
           if (cfg.maxDepth > 0 && e.depth >= cfg.maxDepth) {
             results += SimResult(round, e.url, e.rawUrl, e.host, None, -1, None, None,
-              None, CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, None, -1, None)
+              None, CrawlStatus.MaximumCrawlDepthReached, e.depth, e.priority, 0, None, -1, None,
+              t0, t0)
             newSeen += e.url
           } else {
             val rob = robotsMap.get(e.host)
@@ -76,15 +95,19 @@ object SimCrawler {
               Robots.canAccess(r.disallowAll, r.allowAll, r.body, cfg.userAgent, e.url))
             if (!allowed) {
               results += SimResult(round, e.url, e.rawUrl, e.host, None, -1, None, None,
-                None, CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, None, -1, None)
+                None, CrawlStatus.RestrictedByRobotsTxt, e.depth, e.priority, 0, None, -1, None,
+                t0, t0)
               newSeen += e.url
             } else {
               // dynamic redirect walk (fetch_header_command.rs:31-69),
-              // recording one hop per followed redirect (:73-90)
+              // recording one hop per followed redirect (:73-90) with the
+              // hop response's lowercased headers (:73-90 clones the map);
+              // fixture rows without headers get the minimal faithful map
+              // (the location header that was followed)
               var cur = e.url
               var n = 0
               var terminal3xx: Option[Int] = None
-              var chain = Vector.empty[(String, String, Int)]
+              var chain = Vector.empty[SimHop]
               var walking = true
               while (walking) {
                 redirectMap.get(cur) match {
@@ -92,7 +115,10 @@ object SimCrawler {
                     val dest = UrlCanon.formFullUrl(
                       UrlCanon.protocolOf(cur).getOrElse("https"), r.location,
                       UrlCanon.hostOf(cur).getOrElse(""), Some(cur))
-                    chain :+= ((cur, dest, r.status))
+                    val hopHdrs = Option(r.headers)
+                      .map(_.map { case (k, v) => k.toLowerCase -> v })
+                      .getOrElse(Map("location" -> r.location))
+                    chain :+= ((cur, dest, r.status, hopHdrs))
                     cur = dest; n += 1
                   case Some(r) =>
                     terminal3xx = Some(r.status); walking = false
@@ -102,7 +128,8 @@ object SimCrawler {
               val page = if (terminal3xx.isEmpty) pageMap.get(cur) else None
               if (terminal3xx.isEmpty && page.isEmpty) {
                 results += SimResult(round, e.url, e.rawUrl, e.host, None, -1, None, None,
-                  None, CrawlStatus.ConnectionError, e.depth, e.priority, 0, None, -1, None)
+                  None, CrawlStatus.ConnectionError, e.depth, e.priority, 0, None, -1, None,
+                  t0, t0 + cfg.crawlDelayMs)
                 newSeen += e.url
               } else {
                 // lowercased headers (F9) + per-page status, with the
@@ -156,7 +183,8 @@ object SimCrawler {
                   Some(StatusCodes.label(code)),
                   contentType, respHeaders, CrawlStatus.Fetched, e.depth, e.priority, n,
                   Some(chain), nLinks,
-                  if (shouldDownload) Some(page.get.text) else None)
+                  if (shouldDownload) Some(page.get.text) else None,
+                  t0, t0 + cfg.crawlDelayMs)
                 newSeen += e.url
                 newSeen += cur
               }

@@ -99,18 +99,31 @@ class CrawlStreamSpec extends AnyFunSuite {
         FetchRequest("https://a.test/4", "a.test", idle),
         FetchRequest("https://a.test/5", "a.test", idle))
       q.processAllAvailable()
+      // gap is STRICTLY greater than delay (+1 ms): the reference blocks
+      // while elapsed <= rate_limiting_ms (http_client.rs is_blocked), so
+      // firing exactly at prev+delay would be 1ms more aggressive than it
+      val gap = delay + 1
       val byHost = spark.table("fetch_calendar")
         .select("host", "not_before_ms").as[(String, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
       assert(byHost("a.test") ==
-        Seq(t0, t0 + delay, t0 + 2 * delay, idle, idle + delay))
+        Seq(t0, t0 + gap, t0 + 2 * gap, idle, idle + gap))
       assert(byHost("b.test") == Seq(t0))
-      // invariant: every host's consecutive slots are >= delay apart
+      // invariant: every host's consecutive slots are > delay apart
       byHost.values.foreach(slots =>
         slots.sliding(2).foreach {
-          case Seq(a, b) => assert(b - a >= delay)
+          case Seq(a, b) => assert(b - a > delay)
           case _ =>
         })
+      // replay determinism: within a batch, slots are assigned in
+      // (event_ms, url) order, not arrival order — /1 and /2 share event_ms,
+      // so /1 (lexicographically first) must hold the earlier slot
+      val urlSlots = spark.table("fetch_calendar")
+        .select("url", "not_before_ms").as[(String, Long)].collect().toMap
+      assert(urlSlots("https://a.test/1") == t0)
+      assert(urlSlots("https://a.test/2") == t0 + gap)
+      assert(urlSlots("https://a.test/4") == idle)
+      assert(urlSlots("https://a.test/5") == idle + gap)
     } finally q.stop()
   }
 
