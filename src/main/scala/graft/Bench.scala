@@ -84,8 +84,10 @@ object Bench {
       megaHostThreshold = 100000L)
     val t0 = System.nanoTime()
     // mega-host detection from the RAW frontier (host is canon-invariant;
-    // mega-ness is a performance heuristic, so pre-dedup counts are fine)
-    val megaHosts = FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
+    // mega-ness is a performance heuristic, so pre-dedup counts are fine).
+    // Stays a DataFrame — the production path's broadcast semi/anti split,
+    // so the bench measures the plan CrawlJob actually runs
+    val megaHosts = FrontierRound.findMegaHostsDf(frontier, cfg.megaHostThreshold)
     val canon = frontier.select(
       FrontierRound.canonUdf(lit("https"), col("raw_uri"), col("host"),
         concat(lit("https://"), col("host"), lit("/"))).as("url"),

@@ -28,7 +28,7 @@ object ScaleProbe {
     val fresh = canon.join(seen, Seq("url"), "left_anti")
     val tAnti = timed(fresh.select(count(lit(1))).collect())
     val cfg = CrawlConfig(hostQuotaPerRound = 8, saltBuckets = 64)
-    val mega = FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
+    val mega = FrontierRound.findMegaHostsDf(frontier, cfg.megaHostThreshold)
     val flagged = FrontierRound.scheduleFlagged(fresh, cfg, mega)
     val tFull = timed(flagged.agg(count(lit(1)),
       sum(when(col("is_scheduled"), 1L).otherwise(0L))).collect())

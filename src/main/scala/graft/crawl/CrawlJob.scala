@@ -94,11 +94,13 @@ object CrawlJob {
           Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
         else None
       // salted scheduling only when some host CAN exceed the threshold —
-      // the driver-known frontier total gates the (cheap) per-host count job
+      // the driver-known frontier total gates it. The mega set stays a
+      // DataFrame: the host-count aggregate rides the round plan as a
+      // broadcast semi/anti split (no driver collect, no isin literal)
       val megaHosts =
         if (frontierCount > cfg.megaHostThreshold)
-          FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
-        else Seq.empty[String]
+          Some(FrontierRound.findMegaHostsDf(frontier, cfg.megaHostThreshold))
+        else None
       val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts)
 
       // persist first, commit manifest last (atomic) — exact-resume contract
@@ -167,6 +169,11 @@ object CrawlJob {
       if (cfg.seenCompactEvery > 0 && (round + 1) % cfg.seenCompactEvery == 0) {
         io.compactSeen(round)
         seen = io.readSeen(round).map(_.select("url")).getOrElse(emptySeen(spark))
+        // results/metrics are append-only: fold the tail rounds into one
+        // committed range dir (bounds the small-files listing the same way
+        // seen compaction does, without re-copying history)
+        io.compactResults(round)
+        io.compactMetrics(round)
       }
 
       round += 1
@@ -210,8 +217,8 @@ object CrawlJob {
         else None
       val megaHosts =
         if (frontierCount > cfg.megaHostThreshold)
-          FrontierRound.findMegaHosts(frontier, cfg.megaHostThreshold)
-        else Seq.empty[String]
+          Some(FrontierRound.findMegaHostsDf(frontier, cfg.megaHostThreshold))
+        else None
       val tb = System.nanoTime()
       val out = FrontierRound.run(spark, round, frontier, seen, pagesCk, robotsCache, resolved, cfg, blooms, megaHosts)
       val tr = System.nanoTime()

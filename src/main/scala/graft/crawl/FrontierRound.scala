@@ -216,15 +216,23 @@ object FrontierRound {
       .join(seen.select("url"), Seq("url"), "left_anti")
 
   /** Hosts whose pending count exceeds the salting threshold — the ONLY
-    * hosts routed through the two-phase salted top-k. Mega-ness is a pure
-    * performance heuristic (any choice yields the same exact top-k), so the
-    * caller may also feed stale/raw counts (e.g. last round's metrics).
-    * The collect is tiny: hosts with > threshold pending are rare by
-    * construction at any scale. */
-  def findMegaHosts(frontier: DataFrame, threshold: Long): Seq[String] =
+    * hosts routed through the two-phase salted top-k, as a (host) DataFrame
+    * that is never collected to the driver: the production path
+    * ([[run]] via the DataFrame [[scheduleFlagged]] overload) folds it into
+    * the round plan as a broadcast semi/anti join, so even a pathological
+    * frontier with thousands of mega hosts stays a small broadcast relation
+    * instead of a thousands-long `isin` literal in the plan. Mega-ness is a
+    * pure performance heuristic (any choice yields the same exact top-k), so
+    * the caller may also feed stale/raw counts (e.g. last round's metrics). */
+  def findMegaHostsDf(frontier: DataFrame, threshold: Long): DataFrame =
     frontier.groupBy(col("host")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > threshold)
-      .collect().map(_.getString(0)).toSeq
+      .select(col("host"))
+
+  /** [[findMegaHostsDf]] collected to a host list — test/fixture
+    * convenience for the literal [[scheduleFlagged]] overload. */
+  def findMegaHosts(frontier: DataFrame, threshold: Long): Seq[String] =
+    findMegaHostsDf(frontier, threshold).collect().map(_.getString(0)).toSeq
 
   /** Politeness scheduler: exact per-host top-k by canonical priority
     * (north_rule: "host-keyed priority queue", "salted-key skew handling for
@@ -241,35 +249,68 @@ object FrontierRound {
     * deferred without touching phase 2.
     */
   def scheduleFlagged(frontier: DataFrame, cfg: CrawlConfig,
-      megaHosts: Seq[String] = Seq.empty): DataFrame = {
+      megaHosts: Seq[String] = Seq.empty): DataFrame =
+    if (megaHosts.isEmpty) scheduleSingle(frontier, cfg)
+    else {
+      // literal isin flag — test/fixture overload for hand-picked host
+      // lists; the production path is the DataFrame overload below
+      val isMega = col("host").isin(megaHosts: _*)
+      scheduleSplit(frontier.filter(!isMega), frontier.filter(isMega), cfg)
+    }
+
+  /** Production overload: mega hosts as a (host) DataFrame, split via
+    * broadcast LEFT ANTI / LEFT SEMI joins. Semi/anti joins never duplicate
+    * probe rows (safe even if the mega set has dup hosts) and add no
+    * columns, so the output schema is identical to the literal overload.
+    * The mega relation is tiny by construction (hosts over the threshold);
+    * `broadcast` keeps the split shuffle-free on the frontier side. */
+  def scheduleFlagged(frontier: DataFrame, cfg: CrawlConfig,
+      megaHostsDf: DataFrame): DataFrame = {
+    val mega = broadcast(megaHostsDf.select(col("host")))
+    // using-column semi/anti joins move the join key first; the trailing
+    // projection restores the frontier's column order so both overloads
+    // emit the identical schema
+    scheduleSplit(
+      frontier.join(mega, Seq("host"), "left_anti"),
+      frontier.join(mega, Seq("host"), "left_semi"), cfg)
+      .select(frontier.columns.map(col).toIndexedSeq :+
+        col("is_scheduled") :+ col("host_slot"): _*)
+  }
+
+  /** Single-window top-k — the path when no host can be mega. */
+  private def scheduleSingle(frontier: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val whost = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
+    slotted(frontier.withColumn("__rn", row_number().over(whost)),
+      col("__rn"), cfg.hostQuotaPerRound).drop("__rn")
+  }
+
+  // host_slot = the politeness rank (1-based) of a SCHEDULED row within
+  // its host — the row's position in the host's polite fetch calendar
+  // (feeds the virtual-clock timings, see [[stampTimings]]); null on
+  // deferred rows (they have no slot this round)
+  private def slotted(df: DataFrame, rn: Column, k: Int): DataFrame = df
+    .withColumn("is_scheduled", rn <= k)
+    .withColumn("host_slot", when(rn <= k, rn))
+
+  /** The two-lane scheduler over a pre-split frontier: plain window for
+    * `normalRows`, two-phase salted top-k for `megaRows`. */
+  private def scheduleSplit(normalRows: DataFrame, megaRows: DataFrame,
+      cfg: CrawlConfig): DataFrame = {
     val k = cfg.hostQuotaPerRound
     val whost = Window.partitionBy(col("host")).orderBy(prioOrder: _*)
-    // host_slot = the politeness rank (1-based) of a SCHEDULED row within
-    // its host — the row's position in the host's polite fetch calendar
-    // (feeds the virtual-clock timings, see [[stampTimings]]); null on
-    // deferred rows (they have no slot this round)
-    def slotted(df: DataFrame, rn: Column): DataFrame = df
-      .withColumn("is_scheduled", rn <= k)
-      .withColumn("host_slot", when(rn <= k, rn))
-    if (megaHosts.isEmpty) {
-      slotted(frontier.withColumn("__rn", row_number().over(whost)), col("__rn"))
-        .drop("__rn")
-    } else {
-      val isMega = col("host").isin(megaHosts: _*)
-      val normal = slotted(frontier.filter(!isMega)
-        .withColumn("__rn", row_number().over(whost)), col("__rn")).drop("__rn")
-      val p1 = frontier.filter(isMega)
-        .withColumn("__salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets.toLong)))
-        .withColumn("__rn1", row_number().over(
-          Window.partitionBy(col("host"), col("__salt")).orderBy(prioOrder: _*)))
-        .drop("__salt")
-      val surv = slotted(p1.filter(col("__rn1") <= k).drop("__rn1")
-        .withColumn("__rn2", row_number().over(whost)), col("__rn2")).drop("__rn2")
-      val rest = p1.filter(col("__rn1") > k).drop("__rn1")
-        .withColumn("is_scheduled", lit(false))
-        .withColumn("host_slot", lit(null).cast("int"))
-      normal.unionByName(surv).unionByName(rest)
-    }
+    val normal = slotted(normalRows
+      .withColumn("__rn", row_number().over(whost)), col("__rn"), k).drop("__rn")
+    val p1 = megaRows
+      .withColumn("__salt", pmod(xxhash64(col("url")), lit(cfg.saltBuckets.toLong)))
+      .withColumn("__rn1", row_number().over(
+        Window.partitionBy(col("host"), col("__salt")).orderBy(prioOrder: _*)))
+      .drop("__salt")
+    val surv = slotted(p1.filter(col("__rn1") <= k).drop("__rn1")
+      .withColumn("__rn2", row_number().over(whost)), col("__rn2"), k).drop("__rn2")
+    val rest = p1.filter(col("__rn1") > k).drop("__rn1")
+      .withColumn("is_scheduled", lit(false))
+      .withColumn("host_slot", lit(null).cast("int"))
+    normal.unionByName(surv).unionByName(rest)
   }
 
   /** [[scheduleFlagged]] materialized once and split into (scheduled,
@@ -278,8 +319,9 @@ object FrontierRound {
     * should use [[scheduleFlagged]] directly (zero persists). Caller must
     * unpersist `cached` when done. */
   def schedule(frontier: DataFrame, cfg: CrawlConfig,
-      megaHosts: Seq[String] = Seq.empty): (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val flagged = scheduleFlagged(frontier, cfg, megaHosts)
+      megaHosts: Option[DataFrame] = None): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val flagged = megaHosts.map(scheduleFlagged(frontier, cfg, _))
+      .getOrElse(scheduleSingle(frontier, cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (flagged.filter(col("is_scheduled")).drop("is_scheduled"),
       flagged.filter(!col("is_scheduled")).drop("is_scheduled", "host_slot"),
@@ -299,7 +341,7 @@ object FrontierRound {
       resolvedRedirects: DataFrame,
       cfg: CrawlConfig,
       seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.SeenBlooms]] = None,
-      megaHosts: Seq[String] = Seq.empty): RoundOutput = {
+      megaHosts: Option[DataFrame] = None): RoundOutput = {
 
     // bloom-accelerated exact anti-join vs the seen set (when blooms cover
     // exactly `seen`): definitely-new urls skip the join; bloom-positives

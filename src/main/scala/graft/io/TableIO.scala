@@ -3,6 +3,7 @@ package graft.io
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Iceberg-shaped table/checkpoint seam over Parquet (SURVEY.md §7.1.5).
   *
@@ -74,13 +75,29 @@ final class TableIO(spark: SparkSession, root: String) {
     * is rendered from the row's VIRTUAL clock stamps — same schema, but
     * deterministic where the reference stamps wall time. */
   def writeResultsJsonl(round: Int, df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, concat, date_format, lit, struct, timestamp_millis, to_json}
+    import org.apache.spark.sql.functions.{col, concat, date_format, lit, struct,
+      timestamp_millis, to_json, transform, when}
     val fmt = "yyyy-MM-dd HH:mm:ss.SSS 'UTC'" // DateTime<Utc>.to_string shape
+    def ts(c: org.apache.spark.sql.Column) = date_format(timestamp_millis(c), fmt)
     val d = df.drop("round")
       .withColumn("response_timings", struct(
-        date_format(timestamp_millis(col("fetch_start_ms")), fmt).as("start_time"),
-        date_format(timestamp_millis(col("fetch_end_ms")), fmt).as("end_time"),
+        ts(col("fetch_start_ms")).as("start_time"),
+        ts(col("fetch_end_ms")).as("end_time"),
         concat(lit("PageResponse."), col("url")).as("name")))
+      // each hop serializes its own response_timings too (append_redirect
+      // names them "Redirect.{source}", fetch_header_command.rs:80); the
+      // walk happens inside the row's HEAD window, so hops share the row's
+      // virtual stamps
+      .withColumn("redirects", when(col("redirects").isNotNull,
+        transform(col("redirects"), h => struct(
+          h.getField("source").as("source"),
+          h.getField("destination").as("destination"),
+          h.getField("status").as("status"),
+          h.getField("headers").as("headers"),
+          struct(ts(col("fetch_start_ms")).as("start_time"),
+            ts(col("fetch_end_ms")).as("end_time"),
+            concat(lit("Redirect."), h.getField("source")).as("name"))
+            .as("response_timings")))))
     d.select(to_json(struct(d.columns.map(col): _*)).as("value"))
       .write.mode(SaveMode.Overwrite).text(p("results_jsonl", s"round=$round"))
   }
@@ -246,9 +263,107 @@ final class TableIO(spark: SparkSession, root: String) {
     }
   }
 
-  def readResults(): DataFrame =
-    spark.read.option("basePath", p("results")).parquet(p("results"))
+  // ---------- append-only table compaction (results, metrics) ----------
+  //
+  // Results and metrics are APPEND-ONLY: one immutable dir per round, never
+  // rewritten. Without maintenance that is the same small-files/listing
+  // problem the seen table had — thousands of `round=N` dirs × up to
+  // `shuffle.partitions` part files each. But unlike seen (a mutable set
+  // that wants one merged layout), history never changes, so compaction
+  // here folds only the TAIL — rounds since the last snapshot — into one
+  // `range=A-B/round=N/` dir and leaves older snapshots untouched: each
+  // sweep touches ≤ compactEvery round dirs (no quadratic re-copying of
+  // all history), and the listing grows 1 dir per compactEvery rounds.
+  // Commit protocol mirrors compactSeen: the range dir's Spark `_SUCCESS`
+  // marker IS the commit point; readers ignore per-round tail dirs ≤ the
+  // committed watermark, so the trailing deletes are pure GC.
 
-  def readMetrics(): DataFrame =
-    spark.read.option("basePath", p("metrics")).parquet(p("metrics"))
+  private val rangeRx = "range=(\\d+)-(\\d+)".r
+  private val roundRx = "round=(\\d+)".r
+
+  /** Committed (from, to) snapshot ranges for an append-only table. */
+  private def committedRanges(table: String): Seq[(Int, Int)] = {
+    val dir = hp(s"${table}_compacted")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case rangeRx(a, b) if fs.exists(new HPath(st.getPath, "_SUCCESS")) =>
+          Some((a.toInt, b.toInt))
+        case _ => None
+      }
+    }
+  }
+
+  /** Highest round covered by a committed snapshot range, or -1. */
+  def appendCompactionWatermark(table: String): Int =
+    committedRanges(table).foldLeft(-1)((m, r) => math.max(m, r._2))
+
+  private def tailRoundDirs(table: String, afterRound: Int): Seq[String] = {
+    val dir = hp(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case roundRx(r) if r.toInt > afterRound => Some(r.toInt)
+        case _ => None
+      }
+    }.sorted.map(r => p(table, s"round=$r"))
+  }
+
+  /** Fold the per-round dirs of `table` newer than the last snapshot into
+    * one committed `range=A-B` dir (coalesced to `filesPerRound` part files
+    * per round — round dirs written at full shuffle parallelism usually
+    * hold many near-empty parts). Crash-safe: an uncommitted range dir is
+    * invisible to readers and swept on the next attempt; after the
+    * `_SUCCESS` commit, readers already ignore the tail dirs being GC'd. */
+  def compactAppendTable(table: String, upToRound: Int, filesPerRound: Int = 1): Unit = {
+    val w = appendCompactionWatermark(table)
+    if (w >= upToRound) return
+    // sweep orphaned UNcommitted ranges from earlier crashed attempts
+    val cdir = hp(s"${table}_compacted")
+    if (fs.exists(cdir)) fs.listStatus(cdir).foreach { st =>
+      st.getPath.getName match {
+        case rangeRx(_, _) if !fs.exists(new HPath(st.getPath, "_SUCCESS")) =>
+          fs.delete(st.getPath, true)
+        case _ =>
+      }
+    }
+    val dirs = tailRoundDirs(table, w).filter { d =>
+      roundRx.findFirstMatchIn(d).exists(_.group(1).toInt <= upToRound)
+    }
+    if (dirs.isEmpty) return
+    spark.read.option("basePath", p(table)).parquet(dirs: _*)
+      .repartition(math.max(1, filesPerRound * dirs.size), col("round"))
+      .write.mode(SaveMode.Overwrite).partitionBy("round")
+      .parquet(p(s"${table}_compacted", s"range=${w + 1}-$upToRound"))
+    // GC: the folded dirs, plus any stale tail dir ≤ the old watermark
+    // resurfaced by an interrupted earlier GC (readers already ignore both)
+    tailRoundDirs(table, -1).filter { d =>
+      roundRx.findFirstMatchIn(d).exists(_.group(1).toInt <= upToRound)
+    }.foreach(d => fs.delete(new HPath(d), true))
+  }
+
+  /** Full view of an append-only table: committed snapshot ranges plus the
+    * per-round tail dirs past the watermark, `round` re-materialized from
+    * the partition dirs everywhere. */
+  private def readAppendTable(table: String): DataFrame = {
+    val ranges = committedRanges(table).sortBy(_._1)
+    val w = ranges.foldLeft(-1)((m, r) => math.max(m, r._2))
+    val snaps = ranges.map { case (a, b) =>
+      val d = p(s"${table}_compacted", s"range=$a-$b")
+      spark.read.option("basePath", d).parquet(d)
+    }
+    val tailDirs = tailRoundDirs(table, w)
+    val tails =
+      if (tailDirs.isEmpty) Seq.empty
+      else Seq(spark.read.option("basePath", p(table)).parquet(tailDirs: _*))
+    (snaps ++ tails).reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalStateException(s"append table '$table' has no committed data under $root"))
+  }
+
+  def compactResults(upToRound: Int): Unit = compactAppendTable("results", upToRound)
+  def compactMetrics(upToRound: Int): Unit = compactAppendTable("metrics", upToRound)
+
+  def readResults(): DataFrame = readAppendTable("results")
+
+  def readMetrics(): DataFrame = readAppendTable("metrics")
 }

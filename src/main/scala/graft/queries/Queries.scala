@@ -153,10 +153,10 @@ object Queries {
       lit(0).as("depth"),
       FrontierRound.prioChildUdf(lit(Array.emptyByteArray), col("doc_id").cast("int"))
         .as("priority"))
-    val allHosts = t(s, dir, "documents").select(col("source"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    val allHosts = t(s, dir, "documents")
+      .select(col("source").as("host")).distinct()
     FrontierRound.scheduleFlagged(frontier,
-        CrawlConfig(hostQuotaPerRound = 3, saltBuckets = 4), megaHosts = allHosts)
+        CrawlConfig(hostQuotaPerRound = 3, saltBuckets = 4), megaHostsDf = allHosts)
       .filter(col("is_scheduled"))
       .select(col("host").as("source"), col("url"))
       .orderBy(col("source"), col("url"))

@@ -290,6 +290,13 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$partDir/seen/round=0")),
       "compaction must drop superseded per-round dirs")
+    // results/metrics ride the same cadence: tail rounds folded into a
+    // committed range dir, per-round dirs GC'd
+    assert(io.appendCompactionWatermark("results") == 1)
+    assert(io.appendCompactionWatermark("metrics") == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$partDir/results/round=0")),
+      "results compaction must drop folded per-round dirs")
     val resumed = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf,
       cfg, partDir, resume = true)
 
@@ -308,8 +315,16 @@ class CrawlE2ESpec extends AnyFunSuite {
     val cfg = CrawlConfig(maxDepth = 2, hostQuotaPerRound = 4, exportJsonl = true)
     val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
     val dir = java.nio.file.Files.createTempDirectory("crawl-jsonl").toString
-    val job = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
+    // seed host0's redirect chain head directly so at least one exported
+    // row deterministically carries redirect hops (in-page /r/ entry links
+    // are probabilistic in the fixture). host0 is the right host: host1 is
+    // ALWAYS robots-403 (disallow_all) in the fixture, so its chain head
+    // would be gated before any hop; host0's /r/ paths pass its rules, and
+    // its chain /r/0→…→/r/7→/page/X is 8 hops, within the 10-hop budget
+    val seeds = g.seeds :+ s"https://${Synth.host(0)}/r/0"
+    val job = CrawlJob.run(spark, seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
     val io = new graft.io.TableIO(spark, dir)
+    var hopsSeen = 0L
     (0 until job.rounds).foreach { r =>
       val pq = spark.read.parquet(s"$dir/results/round=$r")
       if (pq.count() > 0) {
@@ -327,8 +342,31 @@ class CrawlE2ESpec extends AnyFunSuite {
           assert(x.getString(1) == s"PageResponse.${x.getString(0)}")
           assert(x.getString(2).endsWith(" UTC") && x.getString(3).endsWith(" UTC"))
         }
+        // hop-level Redirect serialization parity: headers map + per-hop
+        // response_timings named "Redirect.{source}". A round with no hops
+        // at all infers `redirects` as STRING (all-null) or array<string>
+        // (all-empty) — only a round holding a real hop infers the struct.
+        import org.apache.spark.sql.functions.{col => c, explode}
+        val hasHopStructs =
+          js.schema.fields.find(_.name == "redirects").map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.ArrayType(
+              _: org.apache.spark.sql.types.StructType, _)) => true
+            case _ => false // absent (all-null, to_json drops null fields) or degenerate
+          }
+        if (hasHopStructs) {
+          val hops = js.filter(c("n_redirects") > 0)
+            .select(explode(c("redirects")).as("h"))
+            .select("h.source", "h.headers.location", "h.response_timings.name")
+            .collect()
+          hops.foreach { x =>
+            assert(x.getString(2) == s"Redirect.${x.getString(0)}")
+            assert(x.getString(1) != null, "hop headers must carry location")
+          }
+          hopsSeen += hops.length
+        }
       }
     }
+    assert(hopsSeen > 0, "fixture must export at least one redirect hop")
   }
 
   test("maxDepth=0 quirk: unlimited crawlability but only seeds enqueue children") {

@@ -57,4 +57,51 @@ class TableIOSpec extends AnyFunSuite {
     io.compactSeen(2)
     assert(urls(io, 2) == Set("a", "b", "c", "d"))
   }
+
+  test("append-table compaction: ranges accumulate, history never re-copied, crash windows safe") {
+    val dir = java.nio.file.Files.createTempDirectory("tableio-append").toString
+    val io = new TableIO(spark, dir)
+    def write(r: Int, vals: String*): Unit =
+      io.writeResults(r, vals.toDF("url").withColumn("round", lit(r)))
+    def view: Set[(Int, String)] = io.readResults()
+      .select(col("round").cast("int"), col("url")).collect()
+      .map(x => (x.getInt(0), x.getString(1))).toSet
+
+    write(0, "a", "b"); write(1, "c"); write(2, "d")
+    val all = Set(0 -> "a", 0 -> "b", 1 -> "c", 2 -> "d")
+    assert(view == all)
+
+    io.compactResults(1)
+    assert(io.appendCompactionWatermark("results") == 1)
+    assert(view == all)
+    // tail rounds ≤ watermark are gone; later rounds untouched
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/results/round=0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/results/round=2")))
+
+    // crash window: a tail dir ≤ watermark resurfaces (interrupted GC) —
+    // readers must ignore it, never double-read
+    write(0, "bogus")
+    assert(view == all)
+
+    // crash window: a range dir without _SUCCESS is not a commit and is
+    // swept by the next attempt
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/results_compacted/range=2-9"))
+    assert(io.appendCompactionWatermark("results") == 1)
+
+    write(3, "e")
+    io.compactResults(3)
+    assert(io.appendCompactionWatermark("results") == 3)
+    assert(view == all + (3 -> "e"))
+    // the first snapshot range was NOT rewritten (append-only: each sweep
+    // touches only the tail), and the partial range dir is gone
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/results_compacted/range=0-1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/results_compacted/range=2-3")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/results_compacted/range=2-9")))
+
+    // idempotent re-call + fresh tail after compaction still reads
+    io.compactResults(3)
+    write(4, "f")
+    assert(view == all + (3 -> "e") + (4 -> "f"))
+  }
 }
