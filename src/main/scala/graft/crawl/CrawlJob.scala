@@ -14,7 +14,12 @@ import graft.model._
   */
 object CrawlJob {
 
-  final case class JobResult(rounds: Int, results: DataFrame, metrics: DataFrame)
+  /** `roundSecs(i)` is the driver wall-time of the i-th round EXECUTED in
+    * this invocation (not round number — a resume's first entry is its
+    * first resumed round). Diagnostic only: the deep-crawl probe reads it
+    * to evidence flat per-round cost at high round counts. */
+  final case class JobResult(rounds: Int, results: DataFrame, metrics: DataFrame,
+      roundSecs: Seq[Double] = Nil)
 
   /** Seed intake (reference: PUT /crawl, server/src/http.rs:24-29 — seed urls
     * enter the frontier RAW, not canonicalized, page_loader_service.rs:92). */
@@ -88,7 +93,9 @@ object CrawlJob {
     }
 
     var frontierCount = frontier.count()
+    val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (frontierCount > 0 && round < cfg.maxRounds) {
+      val roundT0 = System.nanoTime()
       val blooms =
         if (cfg.useBloomSeen)
           Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
@@ -174,14 +181,21 @@ object CrawlJob {
         // seen compaction does, without re-copying history)
         io.compactResults(round)
         io.compactMetrics(round)
+        // frontier/bloom snapshots are superseded WHOLE each round (only
+        // the latest committed round is ever read back) — GC the history
+        // on the same cadence so their dir listings stay bounded too
+        io.gcRoundDirsBelow("frontier", round)
+        io.gcRoundDirsBelow("blooms", round)
+        io.gcManifestsBelow(round)
       }
 
+      roundSecs += (System.nanoTime() - roundT0) / 1e9
       round += 1
     }
 
     robotsCache.unpersist()
     resolved.unpersist()
-    JobResult(round, io.readResults(), io.readMetrics())
+    JobResult(round, io.readResults(), io.readMetrics(), roundSecs.toSeq)
   }
 
   /** Checkpoint-free variant for embedded use (driver smoke query, tests,

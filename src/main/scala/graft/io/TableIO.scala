@@ -363,6 +363,39 @@ final class TableIO(spark: SparkSession, root: String) {
   def compactResults(upToRound: Int): Unit = compactAppendTable("results", upToRound)
   def compactMetrics(upToRound: Int): Unit = compactAppendTable("metrics", upToRound)
 
+  /** GC manifest files strictly below `keepRound`. Resume reads only the
+    * HIGHEST committed round (`lastCommittedRound` = max over the listing),
+    * so deleting lower manifests never moves the resume point; run on the
+    * compaction cadence to keep the manifest listing bounded. */
+  def gcManifestsBelow(keepRound: Int): Unit = {
+    val dir = hp("manifest")
+    if (!fs.exists(dir)) return
+    val rx = "round=(\\d+)\\.json".r
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case rx(r) if r.toInt < keepRound => fs.delete(st.getPath, false)
+        case _ =>
+      }
+    }
+  }
+
+  /** GC per-round dirs of `table` strictly below `keepRound` — for tables
+    * where only the LATEST committed round is ever read back (frontier
+    * snapshots, cumulative bloom files): older rounds are superseded whole,
+    * so this is pure garbage collection, run on the compaction cadence to
+    * bound the dir listing. Crash-safe trivially: resume reads only
+    * `round=lastCommitted`, which is ≥ `keepRound` at every call site. */
+  def gcRoundDirsBelow(table: String, keepRound: Int): Unit = {
+    val dir = hp(table)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case roundRx(r) if r.toInt < keepRound => fs.delete(st.getPath, true)
+        case _ =>
+      }
+    }
+  }
+
   def readResults(): DataFrame = readAppendTable("results")
 
   def readMetrics(): DataFrame = readAppendTable("metrics")

@@ -590,10 +590,12 @@ object Queries {
     // interpreting 30 rows); both restored after.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevConstr = s.conf.get("spark.sql.constraintPropagation.enabled")
     val results =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.codegen.wholeStage", "false")
+        s.conf.set("spark.sql.constraintPropagation.enabled", "false")
         // (measured r3: AQE stays ON — disabling it shaves ~0.5s of
         // per-round planning but costs ~1s of per-round execution, net
         // worse; the post-shuffle coalescing it does is what keeps the
@@ -604,6 +606,7 @@ object Queries {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+        s.conf.set("spark.sql.constraintPropagation.enabled", prevConstr)
       }
     // driver-output rule: every column SCALAR — the driver harness
     // canonicalizes with a pandas sort that cannot hash array/map/binary

@@ -146,6 +146,23 @@ object Synth {
       seeds = (0 until hosts).map(h => s"https://${host(h)}/"))
   }
 
+  /** Long-chain graph for deep-crawl probes: each host is one straight
+    * chain /c/0 → /c/1 → … → /c/(len−1), so BFS discovers exactly one new
+    * url per host per round and the crawl runs `chainLen` rounds — the
+    * round-COUNT stressor (compaction cadence, manifest/dir-listing growth,
+    * per-round driver cost) with constant per-round work. Robots are 404
+    * (allow-all) so every page fetches; no redirects. */
+  def chainGraph(hosts: Int, chainLen: Int): Graph = {
+    val pages = for { h <- 0 until hosts; i <- 0 until chainLen } yield {
+      val next = if (i + 1 < chainLen) s"""<a href="/c/${i + 1}">n</a>""" else ""
+      Page(s"https://${host(h)}/c/$i", new Timestamp(1600000000000L + i),
+        s"<html><body>$next</body></html>".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        s"chain $h/$i", "en")
+    }
+    Graph(pages, (0 until hosts).map(h => RobotsRow(host(h), 404, "")),
+      Seq.empty, seeds = (0 until hosts).map(h => s"https://${host(h)}/c/0"))
+  }
+
   def toDfs(spark: SparkSession, g: Graph): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     (g.pages.toDF(), g.robots.toDF(), g.redirects.toDF())
