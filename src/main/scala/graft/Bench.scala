@@ -66,6 +66,18 @@ object Bench {
   // spuriously fail another session's quota assert.
   private val hostCountCache = scala.collection.mutable.Map.empty[String, Long]
 
+  /** Full JSON string escape incl. control chars — an exception message
+    * with a tab/newline fragment must never yield an unparseable artifact. */
+  private def jesc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** One schedule+dedup round over the on-disk input; returns (rows out,
     * input urls per wall-clock second). The whole round — canonicalize →
     * hash → seen anti-join → mega-host detection → salted politeness top-k —
@@ -380,14 +392,13 @@ object Bench {
         case e: FleetNotScheduled =>
           // three straight scheduling failures: report the fact instead of
           // a poisoned number (thread mode remains the primary gate)
-          s""","scaling_exec":{"mode":"executors","error":"${e.getMessage}"}"""
+          s""","scaling_exec":{"mode":"executors","error":"${jesc(e.getMessage)}"}"""
       }
     }
 
     val qs = queryTimes.map {
       case (k, Right(v)) => f""""$k":$v%.3f"""
-      case (k, Left(m)) =>
-        s""""$k":"ERROR ${m.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      case (k, Left(m)) => s""""$k":"ERROR ${jesc(m)}""""
     }.mkString("{", ",", "}")
     val errs = queryTimes.count(_._2.isLeft)
     val total = queryTimes.collect { case (_, Right(v)) => v }.sum

@@ -35,6 +35,13 @@ object DeepCrawlProbe {
     val chainLen = args.headOption.map(_.toInt).getOrElse(200)
     val hosts = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val compactEvery = args.drop(2).headOption.map(_.toInt).getOrElse(64)
+    // args are operator-supplied: the flatness quartiles need ≥8 rounds and
+    // the snapshot/range assertions need at least one completed sweep —
+    // fail with the constraint, not a confusing downstream require
+    require(chainLen >= math.max(8, compactEvery),
+      s"chainLen=$chainLen too short: the probe needs chainLen >= " +
+        s"max(8, compactEvery=$compactEvery) for its flatness quartiles and " +
+        "compaction assertions")
     // small-core session: per-round data is tiny (hosts urls/round) — the
     // probe measures round-COUNT behavior, not data throughput, and 32
     // threads of per-task overhead would only add noise to the per-round
@@ -94,9 +101,11 @@ object DeepCrawlProbe {
     val q = ts.size / 4
     val early = median(ts.slice(q, 2 * q))
     val late = median(ts.takeRight(q))
-    val ratio = late / early
+    // early median 0.0 is theoretically possible (sub-ms rounds); Infinity/
+    // NaN are not JSON tokens, so render the degenerate case as null
+    val ratioStr = if (early > 0) f"${late / early}%.3f" else "null"
     val sweeps = (compactEvery - 1 until ts.size by compactEvery).map(ts)
-    println(f"""{"probe":"deep_crawl","chain_len":$chainLen,"hosts":$hosts,"compact_every":$compactEvery,"rounds":${res.rounds},"fetched":$fetched,"round_sec_median_q2":$early%.3f,"round_sec_median_q4":$late%.3f,"late_over_early":$ratio%.3f,"compaction_round_secs":[${sweeps.map(s => f"$s%.3f").mkString(",")}],"dirs":${dirs.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"round_secs":[${ts.map(s => f"$s%.3f").mkString(",")}]}""")
+    println(f"""{"probe":"deep_crawl","chain_len":$chainLen,"hosts":$hosts,"compact_every":$compactEvery,"rounds":${res.rounds},"fetched":$fetched,"round_sec_median_q2":$early%.3f,"round_sec_median_q4":$late%.3f,"late_over_early":$ratioStr,"compaction_round_secs":[${sweeps.map(s => f"$s%.3f").mkString(",")}],"dirs":${dirs.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"round_secs":[${ts.map(s => f"$s%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }

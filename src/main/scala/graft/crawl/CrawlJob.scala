@@ -245,10 +245,13 @@ object CrawlJob {
       // attached ABOVE the leaf: a changing literal inside the (identically-
       // shaped) round tree would bust the generated-code cache and
       // re-compile every stage every round.
-      val unified = out.results.withColumn("__kind", lit("r"))
+      val unifiedPre = out.results.withColumn("__kind", lit("r"))
         .unionByName(out.newFrontier.withColumn("__kind", lit("f")),
           allowMissingColumns = true)
-        .localCheckpoint(false)
+      val unified = unifiedPre.localCheckpoint(false)
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMING"))
+        System.err.println("E2EPHASES " + unifiedPre.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" "))
       val resultCols = out.results.columns
       val frontierCols = out.newFrontier.columns
       // round + absolute timings attach ABOVE the checkpoint leaf (changing

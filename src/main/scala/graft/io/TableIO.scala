@@ -73,33 +73,46 @@ final class TableIO(spark: SparkSession, root: String) {
     * `response_timings` field ({start_time, end_time, name} with
     * name = "PageResponse.{url}", responses/src/response_timings.rs:5-10)
     * is rendered from the row's VIRTUAL clock stamps — same schema, but
-    * deterministic where the reference stamps wall time. */
+    * deterministic where the reference stamps wall time.
+    *
+    * One dir per round by design — the export mirrors the reference's
+    * per-page callback stream, and downstream consumers retire dirs as they
+    * ingest them. It is deliberately OUTSIDE the engine's bounded-listing
+    * guarantee (nothing in the engine ever lists or re-reads it). */
   def writeResultsJsonl(round: Int, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, concat, date_format, lit, struct,
       timestamp_millis, to_json, transform, when}
     val fmt = "yyyy-MM-dd HH:mm:ss.SSS 'UTC'" // DateTime<Utc>.to_string shape
     def ts(c: org.apache.spark.sql.Column) = date_format(timestamp_millis(c), fmt)
-    val d = df.drop("round")
-      .withColumn("response_timings", struct(
-        ts(col("fetch_start_ms")).as("start_time"),
-        ts(col("fetch_end_ms")).as("end_time"),
-        concat(lit("PageResponse."), col("url")).as("name")))
-      // each hop serializes its own response_timings too (append_redirect
-      // names them "Redirect.{source}", fetch_header_command.rs:80); the
-      // walk happens inside the row's HEAD window, so hops share the row's
-      // virtual stamps
-      .withColumn("redirects", when(col("redirects").isNotNull,
-        transform(col("redirects"), h => struct(
-          h.getField("source").as("source"),
-          h.getField("destination").as("destination"),
-          h.getField("status").as("status"),
-          h.getField("headers").as("headers"),
-          struct(ts(col("fetch_start_ms")).as("start_time"),
-            ts(col("fetch_end_ms")).as("end_time"),
-            concat(lit("Redirect."), h.getField("source")).as("name"))
-            .as("response_timings")))))
-    d.select(to_json(struct(d.columns.map(col): _*)).as("value"))
-      .write.mode(SaveMode.Overwrite).text(p("results_jsonl", s"round=$round"))
+    // date_format renders in the SESSION timezone, and this is a library
+    // seam: an embedding session on a non-UTC zone would export local wall
+    // time under the hardcoded 'UTC' label. Pin the session zone to UTC for
+    // the plan build + write (the expression captures the zone at analysis)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val d = df.drop("round")
+        .withColumn("response_timings", struct(
+          ts(col("fetch_start_ms")).as("start_time"),
+          ts(col("fetch_end_ms")).as("end_time"),
+          concat(lit("PageResponse."), col("url")).as("name")))
+        // each hop serializes its own response_timings too (append_redirect
+        // names them "Redirect.{source}", fetch_header_command.rs:80); the
+        // walk happens inside the row's HEAD window, so hops share the row's
+        // virtual stamps
+        .withColumn("redirects", when(col("redirects").isNotNull,
+          transform(col("redirects"), h => struct(
+            h.getField("source").as("source"),
+            h.getField("destination").as("destination"),
+            h.getField("status").as("status"),
+            h.getField("headers").as("headers"),
+            struct(ts(col("fetch_start_ms")).as("start_time"),
+              ts(col("fetch_end_ms")).as("end_time"),
+              concat(lit("Redirect."), h.getField("source")).as("name"))
+              .as("response_timings")))))
+      d.select(to_json(struct(d.columns.map(col): _*)).as("value"))
+        .write.mode(SaveMode.Overwrite).text(p("results_jsonl", s"round=$round"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   def readResultsJsonl(round: Int): DataFrame =
@@ -247,8 +260,16 @@ final class TableIO(spark: SparkSession, root: String) {
     readSeen(upToRound).foreach { df =>
       // the parquet write's _SUCCESS marker is the snapshot's commit point;
       // everything after is pure garbage collection (readers already ignore
-      // per-round slices ≤ upToRound and any older/partial snapshot)
-      df.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      // per-round slices ≤ upToRound and any older/partial snapshot).
+      // Hash-repartition on bucket first: without it the snapshot holds up
+      // to shuffle.partitions part-files PER bucket — more small files
+      // than the tail dirs it replaced, so every later round's seen scan
+      // pays more planning than before the sweep (measured: per-round cost
+      // failed to drop back after compaction until this repartition). With
+      // it, each bucket lands whole in one task → one sized file per
+      // bucket, and the per-round cost sawtooths back down as designed.
+      df.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(p("seen_compacted", s"upto=$upToRound"))
       (0 to upToRound).foreach(r => fs.delete(hp("seen", s"round=$r"), true))
       // sweep EVERY superseded upto=* dir (committed or partial), not just
@@ -298,7 +319,11 @@ final class TableIO(spark: SparkSession, root: String) {
   def appendCompactionWatermark(table: String): Int =
     committedRanges(table).foldLeft(-1)((m, r) => math.max(m, r._2))
 
-  private def tailRoundDirs(table: String, afterRound: Int): Seq[String] = {
+  /** (round, path) of per-round dirs past `afterRound`, sorted by round.
+    * The round is parsed from the dir BASENAME only — matching on the full
+    * path would let a root dir whose name contains `round=<n>` hijack the
+    * bound (e.g. a state root named `/data/round=7-rerun`). */
+  private def tailRoundDirs(table: String, afterRound: Int): Seq[(Int, String)] = {
     val dir = hp(table)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap { st =>
@@ -306,7 +331,7 @@ final class TableIO(spark: SparkSession, root: String) {
         case roundRx(r) if r.toInt > afterRound => Some(r.toInt)
         case _ => None
       }
-    }.sorted.map(r => p(table, s"round=$r"))
+    }.sorted.map(r => r -> p(table, s"round=$r"))
   }
 
   /** Fold the per-round dirs of `table` newer than the last snapshot into
@@ -327,9 +352,7 @@ final class TableIO(spark: SparkSession, root: String) {
         case _ =>
       }
     }
-    val dirs = tailRoundDirs(table, w).filter { d =>
-      roundRx.findFirstMatchIn(d).exists(_.group(1).toInt <= upToRound)
-    }
+    val dirs = tailRoundDirs(table, w).collect { case (r, d) if r <= upToRound => d }
     if (dirs.isEmpty) return
     spark.read.option("basePath", p(table)).parquet(dirs: _*)
       .repartition(math.max(1, filesPerRound * dirs.size), col("round"))
@@ -337,9 +360,8 @@ final class TableIO(spark: SparkSession, root: String) {
       .parquet(p(s"${table}_compacted", s"range=${w + 1}-$upToRound"))
     // GC: the folded dirs, plus any stale tail dir ≤ the old watermark
     // resurfaced by an interrupted earlier GC (readers already ignore both)
-    tailRoundDirs(table, -1).filter { d =>
-      roundRx.findFirstMatchIn(d).exists(_.group(1).toInt <= upToRound)
-    }.foreach(d => fs.delete(new HPath(d), true))
+    tailRoundDirs(table, -1).collect { case (r, d) if r <= upToRound => d }
+      .foreach(d => fs.delete(new HPath(d), true))
   }
 
   /** Full view of an append-only table: committed snapshot ranges plus the
@@ -352,7 +374,7 @@ final class TableIO(spark: SparkSession, root: String) {
       val d = p(s"${table}_compacted", s"range=$a-$b")
       spark.read.option("basePath", d).parquet(d)
     }
-    val tailDirs = tailRoundDirs(table, w)
+    val tailDirs = tailRoundDirs(table, w).map(_._2)
     val tails =
       if (tailDirs.isEmpty) Seq.empty
       else Seq(spark.read.option("basePath", p(table)).parquet(tailDirs: _*))

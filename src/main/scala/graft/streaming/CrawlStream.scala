@@ -92,16 +92,28 @@ object CrawlStream {
     * the original attempt (Append-mode sinks would then hold both). The
     * sort materializes one host's slice of one micro-batch — bounded by the
     * trigger (maxFilesPerTrigger / maxOffsetsPerTrigger), not by the host's
-    * total url count, so a mega-host is a trigger-sizing concern, not a
-    * heap one. */
+    * total url count. That bound is ENFORCED, not assumed: an unbounded
+    * trigger (e.g. the whole backlog in the first micro-batch after a
+    * restart) would otherwise materialize a mega-host's full url set in one
+    * task heap — `maxHostSlice` fails the query fast with the trigger
+    * config to fix, instead of an executor OOM mid-sort. */
   def politenessSchedule(spark: SparkSession, links: Dataset[FetchRequest],
-      crawlDelayMs: Long): Dataset[ScheduledFetch] = {
+      crawlDelayMs: Long, maxHostSlice: Int = 4 << 20): Dataset[ScheduledFetch] = {
     import spark.implicits._
     links.groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (host: String, rows: Iterator[FetchRequest], state: GroupState[Long]) => {
           var last: Option[Long] = state.getOption
-          rows.toArray.sortBy(r => (r.event_ms, r.url)).iterator.map { r =>
+          val buf = new scala.collection.mutable.ArrayBuffer[FetchRequest]
+          while (rows.hasNext) {
+            buf += rows.next()
+            if (buf.size > maxHostSlice) throw new IllegalStateException(
+              s"politenessSchedule: host '$host' exceeds $maxHostSlice urls in one " +
+                "micro-batch slice (replay-deterministic slot assignment sorts the " +
+                "slice in memory). Bound the trigger (maxFilesPerTrigger / " +
+                "maxOffsetsPerTrigger) or raise maxHostSlice.")
+          }
+          buf.sortInPlace()(Ordering.by(r => (r.event_ms, r.url))).iterator.map { r =>
             val slot = last.map(l => math.max(r.event_ms, l + crawlDelayMs + 1))
               .getOrElse(r.event_ms)
             last = Some(slot)
