@@ -150,4 +150,30 @@ class CrawlStreamSpec extends AnyFunSuite {
       assert(!ids.contains(2L) && !ids.contains(3L), s"duplicates must drop: $ids")
     } finally q.stop()
   }
+
+  test("politeness scheduler fails fast past maxHostSlice instead of buffering a mega host") {
+    implicit val sqlCtx = spark.sqlContext
+    import CrawlStream.FetchRequest
+    val input = MemoryStream[FetchRequest]
+    val t0 = 1700000000000L
+    val q = CrawlStream.politenessSchedule(spark, input.toDS(), 500L, maxHostSlice = 3)
+      .writeStream.format("memory").queryName("fetch_calendar_capped")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cs-ckpt5").toString)
+      .start()
+    try {
+      input.addData((1 to 4).map(i => FetchRequest(s"https://m.test/$i", "m.test", t0)): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the actionable message (host + the trigger config to fix) must
+      // survive Spark's exception wrapping
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("m.test") && c.getMessage.contains("maxFilesPerTrigger")),
+        s"expected the slice-bound message in the cause chain, got: ${causes(e).map(_.getMessage)}")
+    } finally q.stop()
+  }
 }
