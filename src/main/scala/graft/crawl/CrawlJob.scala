@@ -195,7 +195,29 @@ object CrawlJob {
 
     robotsCache.unpersist()
     resolved.unpersist()
-    JobResult(round, io.readResults(), io.readMetrics(), roundSecs.toSeq)
+    // zero rounds executed AND nothing committed earlier (fresh run with an
+    // empty seed list): nothing was ever written, so the append-table reads
+    // would throw. Return the empty-but-correctly-shaped tables instead —
+    // same contract as [[runInMemory]]. A RESUME that finds no new work
+    // still lands in the readers branch (round = lastCommitted + 1 > 0).
+    if (round == 0) JobResult(0, emptyResults(spark), emptyMetrics(spark), Nil)
+    else JobResult(round, io.readResults(), io.readMetrics(), roundSecs.toSeq)
+  }
+
+  /** Empty results table in the exact shape a populated run yields: the
+    * [[ResultRow]] data columns with `round` moved LAST (both runners
+    * attach `round` after the round tree — as the parquet partition column
+    * or as the per-round literal — so it trails the data columns). */
+  private def emptyResults(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = spark.emptyDataset[ResultRow].toDF()
+    val dataCols = base.columns.filter(_ != "round").map(col)
+    base.select(dataCols.toIndexedSeq :+ col("round").cast("int").as("round"): _*)
+  }
+
+  private def emptyMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[RoundMetrics].toDF()
   }
 
   /** Checkpoint-free variant for embedded use (driver smoke query, tests,
@@ -301,7 +323,9 @@ object CrawlJob {
       round += 1
     }
     robotsCache.unpersist(); resolved.unpersist()
-    if (resultRounds.isEmpty) spark.emptyDataset[ResultRow].toDF()
+    // empty case carries the same schema as the non-empty one (ResultRow
+    // columns + the per-round `round` literal appended by the loop)
+    if (resultRounds.isEmpty) emptyResults(spark)
     else resultRounds.reduce(_ union _)
   }
 

@@ -379,4 +379,42 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(sparkRows(results) == simRows(sim.results))
     assert(results.agg(max("depth")).collect()(0).getInt(0) <= 1)
   }
+
+  test("differential parity THROUGH the compaction cadence (persistent, seenCompactEvery=2)") {
+    // every other round triggers the full maintenance sweep (seen snapshot,
+    // results/metrics range fold, frontier/bloom/manifest GC), so the final
+    // readResults() view — committed ranges unioned with the tail — is
+    // row-compared against the independent sequential oracle, not just
+    // against another spark run
+    val g = Synth.graph(seed = 909L, hosts = 3, pagesPerHost = 10)
+    val cfg = CrawlConfig(maxDepth = 3, hostQuotaPerRound = 3, maxRounds = 12,
+      seenCompactEvery = 2)
+    val (job, sim, dir) = runBoth(g, cfg, "compact-diff")
+    assert(job.rounds > 2, "fixture must cross at least one compaction sweep")
+    assert(sparkRows(job.results) == simRows(sim.results))
+    val io = new graft.io.TableIO(spark, dir)
+    assert(io.appendCompactionWatermark("results") >= 0,
+      "at least one committed results range must exist")
+    val sparkSeen = io.readSeen(job.rounds - 1).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(sparkSeen == sim.seen)
+  }
+
+  test("zero seeds: both runners return an empty, correctly-shaped results table") {
+    val g = Synth.graph(seed = 42L, hosts = 2, pagesPerHost = 8)
+    val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
+    val cfg = CrawlConfig(maxDepth = 2, hostQuotaPerRound = 3)
+    val dir = java.nio.file.Files.createTempDirectory("crawl-empty").toString
+    val job = CrawlJob.run(spark, Seq.empty, pagesDf, robotsDf, redirectsDf, cfg, dir)
+    assert(job.rounds == 0)
+    assert(job.results.count() == 0L && job.metrics.count() == 0L)
+    val inMem = CrawlJob.runInMemory(spark, Seq.empty, pagesDf, robotsDf, redirectsDf, cfg)
+    assert(inMem.count() == 0L)
+    // schema parity with a real run (names AND order), so downstream code
+    // written against a populated crawl works unchanged on an empty one
+    val populated = CrawlJob.runInMemory(spark, g.seeds, pagesDf, robotsDf, redirectsDf,
+      CrawlConfig(maxDepth = 1, hostQuotaPerRound = 1))
+    assert(inMem.columns.toSeq == populated.columns.toSeq)
+    assert(job.results.columns.toSeq == populated.columns.toSeq)
+  }
 }
