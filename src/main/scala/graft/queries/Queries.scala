@@ -593,13 +593,18 @@ object Queries {
     val prevConstr = s.conf.get("spark.sql.constraintPropagation.enabled")
     val results =
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", "1")
         s.conf.set("spark.sql.codegen.wholeStage", "false")
         s.conf.set("spark.sql.constraintPropagation.enabled", "false")
-        // (measured r3: AQE stays ON — disabling it shaves ~0.5s of
-        // per-round planning but costs ~1s of per-round execution, net
-        // worse; the post-shuffle coalescing it does is what keeps the
-        // 30-row stages single-task)
+        // shuffle.partitions=1: a 30-row loop wants exactly one task per
+        // shuffle stage, statically. AQE's coalescing reaches the same
+        // 1-task stages from parts=4, but pays per-stage planning jobs to
+        // get there — E2EProbe's interleaved A/B (SPARK_GRAFT_E2E_AB=1,
+        // 4 reps, min/median): parts=1+AQE 8.7/12.9 s vs parts=4+AQE
+        // 16.5/29.0 s on a host with ~150 ms/job dispatch latency; the
+        // same ordering (smaller margin) held on the earlier fast host.
+        // AQE stays ON — it still prunes the empty side of the tagged
+        // union and costs nothing at 1 partition.
         CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
           CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12,
             useBloomSeen = false))
