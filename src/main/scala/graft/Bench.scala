@@ -278,8 +278,10 @@ object Bench {
           }
         }
         val ok = outcomes.collect { case Right(t) => t }
-        name -> (if (ok.nonEmpty) Right(ok.min)
-                 else Left(outcomes.collectFirst { case Left(m) => m }.get))
+        (name,
+         if (ok.nonEmpty) Right(ok.min)
+         else Left(outcomes.collectFirst { case Left(m) => m }.get),
+         outcomes)
       }
     }
 
@@ -397,14 +399,23 @@ object Bench {
     }
 
     val qs = queryTimes.map {
-      case (k, Right(v)) => f""""$k":$v%.3f"""
-      case (k, Left(m)) => s""""$k":"ERROR ${jesc(m)}""""
+      case (k, Right(v), _) => f""""$k":$v%.3f"""
+      case (k, Left(m), _) => s""""$k":"ERROR ${jesc(m)}""""
+    }.mkString("{", ",", "}")
+    // every rep published raw (same rule as scaling's round_rates): the
+    // host's supply swings several-fold over minutes, and the spread is
+    // the evidence that best-of-R is measuring the query, not the weather
+    val qsRaw = queryTimes.map { case (k, _, outs) =>
+      s""""$k":""" + outs.map {
+        case Right(t) => f"$t%.3f"
+        case Left(m) => s""""ERROR ${jesc(m)}""""
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = queryTimes.count(_._2.isLeft)
-    val total = queryTimes.collect { case (_, Right(v)) => v }.sum
+    val total = queryTimes.collect { case (_, Right(v), _) => v }.sum
     val rawRounds = roundLog.map { case (tag, r) => f"""["$tag",$r%.0f]""" }
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"query_reps":$queryReps,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"threads","frontier_urls":$frontierN,"cores_n":$threadCores,"rows_out":$outN,"rate_n":$rateN%.1f,"cores_4n":${threadCores * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"rounds_per_level":$kRounds,"pair_rates":$allRates,"round_rates":$rawRounds}$execJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"query_errors":$errs,"query_reps":$queryReps,"sf":"$sfDir","scaling":{"metric":"urls_scheduled_deduped_per_sec","mode":"threads","frontier_urls":$frontierN,"cores_n":$threadCores,"rows_out":$outN,"rate_n":$rateN%.1f,"cores_4n":${threadCores * 4},"rate_4n":$rate4N%.1f,"rows_out_4n":$out4N,"efficiency":$eff%.3f,"rounds_per_level":$kRounds,"pair_rates":$allRates,"round_rates":$rawRounds}$execJson}""")
   }
 }
