@@ -267,7 +267,12 @@ object Bench {
       // bench total, so the artifact is structurally incapable of it.
       headline.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
-        val outcomes: Seq[Either[String, Double]] = (1 to queryReps).map { _ =>
+        // the flagship is the only minute-scale query, so it is the most
+        // exposed to the host's minute-scale supply swings (observed raw
+        // reps 35 s and 98.7 s inside ONE run): give it one extra rep.
+        // queries_raw in the artifact shows the true rep count per query.
+        val reps = if (name == "q_crawl_e2e") queryReps + 1 else queryReps
+        val outcomes: Seq[Either[String, Double]] = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
