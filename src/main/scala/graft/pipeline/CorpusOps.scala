@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-maintenance operators a large-scale training-data pipeline needs
+  * beyond per-document dedup/quality: corpus-frequency boilerplate-line
+  * removal (the CCNet / RefinedWeb line-level dedup step — navigation bars,
+  * cookie banners and footers repeat across documents of a host and must be
+  * stripped before training) and deterministic hash-based train/val/test
+  * splitting (assignment must be a pure function of content so re-runs,
+  * backfills and multi-site runs agree without coordination).
+  *
+  * Portability contract (same as [[DedupOps]]): only constructs with
+  * bit-identical DuckDB semantics — newline split, distinct-count, md5 hex,
+  * integer arithmetic — so every operator here is oracle-checkable.
+  */
+object CorpusOps {
+
+  /** Lines occurring in at least `minDocs` DISTINCT documents — the
+    * boilerplate set. Distinct-doc counting (not raw occurrence counting)
+    * is the pinned semantic: a line repeated inside ONE document is content
+    * (e.g. a refrain), not boilerplate.
+    *
+    * Scale shape: one shuffle on the line hash with map-side partial
+    * aggregation. The RESULT is small by construction — at threshold K the
+    * boilerplate set has at most total_lines/K members and in practice is
+    * tiny (it is the site chrome of the corpus) — which is what makes the
+    * broadcast in [[removeBoilerplateLines]] safe at 100 TB. */
+  def boilerplateLines(docs: DataFrame, minDocs: Long): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
+  /** Per-document boilerplate-line removal: rebuilds each document's text
+    * with every boilerplate line dropped, preserving the original line
+    * order, plus kept/removed counts. A document that is ALL boilerplate
+    * yields an empty `cleaned_text` (a downstream length filter drops it).
+    *
+    * Two shuffles total (the boilerplate groupBy and the per-doc
+    * reassembly) — the per-line membership test itself is a broadcast hash
+    * join against the small boilerplate set, so no extra shuffle of the
+    * exploded lines on the join key. */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Long): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = boilerplateLines(docs, minDocs)
+      .select(col("line"), lit(1).as("__boiler"))
+    lines.join(broadcast(boiler), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list skips nulls, so only kept lines enter; array_sort on
+        // the (pos, line) struct restores document order deterministically
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("cleaned_text"),
+        count(when(col("__boiler").isNull, 1)).as("kept_lines"),
+        count(when(col("__boiler").isNotNull, 1)).as("removed_lines"))
+  }
+
+  /** Deterministic content-hash split assignment: bucket = first 32 bits of
+    * md5(text) mod 100, split by cumulative percentage (train < trainPct ≤
+    * val < trainPct+valPct ≤ test). Pure per-row projection — map-only, no
+    * shuffle, embarrassingly parallel at any scale — and a pure function of
+    * content, so the assignment survives re-partitioning, re-runs and
+    * engine changes (md5 is the same everywhere; xxhash64 is not). */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(100L))
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.crawl.{CrawlJob, FrontierRound}
 import graft.model.CrawlConfig
-import graft.pipeline.{DedupOps, MediaOps, SimOps, TextOps}
+import graft.pipeline.{CorpusOps, DedupOps, MediaOps, SimOps, TextOps}
 import graft.synth.Synth
 
 /** The driver-contract query inventory: every operator from SURVEY.md §2
@@ -217,6 +217,78 @@ object Queries {
     """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
       |       count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin
+
+  /** Corpus-frequency boilerplate-line removal (CCNet/RefinedWeb line-level
+    * dedup) over a crafted multi-line corpus shared verbatim with the
+    * oracle — the sf documents table is single-line by construction, so the
+    * semantics (distinct-doc counting, order preservation, all-boilerplate
+    * docs, the >= threshold boundary) are pinned on a fixture that
+    * exercises them all. */
+  val lineDedupMinDocs = 3
+  val lineDedupDocs: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("COOKIE NOTICE we use cookies", "alpha article body one",
+      "(c) 2020 Example Corp"),
+    2L -> Seq("COOKIE NOTICE we use cookies", "beta article body two",
+      "subscribe to our newsletter", "(c) 2020 Example Corp"),
+    3L -> Seq("COOKIE NOTICE we use cookies", "gamma article body three",
+      "terms of service apply"),
+    4L -> Seq("delta article body four", "subscribe to our newsletter",
+      "(c) 2020 Example Corp"),
+    5L -> Seq("COOKIE NOTICE we use cookies", "terms of service apply",
+      "epsilon article body five"),
+    6L -> Seq("terms of service apply", "zeta article body six",
+      "COOKIE NOTICE we use cookies"),
+    // all boilerplate -> cleaned_text must come back empty
+    7L -> Seq("COOKIE NOTICE we use cookies", "terms of service apply"),
+    // a line repeated inside ONE doc is content, not boilerplate
+    // (doc_freq counts DISTINCT docs); interleaving pins order preservation
+    8L -> Seq("la la la", "la la la", "eta article body eight", "la la la"))
+
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = lineDedupDocs.map { case (id, ls) => (id, ls.mkString("\n")) }
+      .toDF("doc_id", "text")
+    CorpusOps.removeBoilerplateLines(docs, lineDedupMinDocs)
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String = {
+    val values = lineDedupDocs.map { case (id, ls) =>
+      s"(CAST($id AS BIGINT), ${ls.map(l => s"'$l'").mkString(" || chr(10) || ")})"
+    }.mkString(",\n")
+    s"""WITH docs(doc_id, text) AS (VALUES
+       |$values
+       |),
+       |lines AS (
+       |  SELECT doc_id, ord - 1 AS pos, line
+       |  FROM docs, LATERAL (
+       |    SELECT unnest(string_split(text, chr(10))) AS line,
+       |           generate_subscripts(string_split(text, chr(10)), 1) AS ord)),
+       |boiler AS (
+       |  SELECT line FROM lines
+       |  GROUP BY line HAVING count(DISTINCT doc_id) >= $lineDedupMinDocs)
+       |SELECT l.doc_id,
+       |  coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+       |                      chr(10) ORDER BY l.pos), '') AS cleaned_text,
+       |  count(CASE WHEN b.line IS NULL THEN 1 END) AS kept_lines,
+       |  count(CASE WHEN b.line IS NOT NULL THEN 1 END) AS removed_lines
+       |FROM lines l LEFT JOIN boiler b ON l.line = b.line
+       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+  }
+
+  /** Deterministic content-hash train/val/test split over documents. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.hashSplit(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val hashSplitSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT)
+      |         % 100 AS BIGINT) AS bucket
+      |  FROM documents) ORDER BY doc_id""".stripMargin
 
   def minhash(s: SparkSession, dir: String): DataFrame =
     DedupOps.minhash(t(s, dir, "documents"), 4).orderBy(col("doc_id"))
@@ -736,7 +808,9 @@ object Queries {
     "q_media_frames" -> mediaFrames _,
     "q_crawl_e2e" -> crawlE2E _,
     "q_canon_corpus" -> canonCorpus _,
-    "q_extract_links" -> extractLinks _)
+    "q_extract_links" -> extractLinks _,
+    "q_line_dedup" -> lineDedup _,
+    "q_hash_split" -> hashSplit _)
 
   val oracles: Map[String, String] = Map(
     "q_seen_antijoin" -> seenAntijoinSql,
@@ -767,5 +841,7 @@ object Queries {
     "q_media_stats" -> mediaStatsSql,
     "q_lang_id" -> langIdSql,
     "q_fingerprint" -> fingerprintSql,
-    "q_canon_corpus" -> canonCorpusSql)
+    "q_canon_corpus" -> canonCorpusSql,
+    "q_line_dedup" -> lineDedupSql,
+    "q_hash_split" -> hashSplitSql)
 }

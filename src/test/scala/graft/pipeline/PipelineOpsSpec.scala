@@ -282,4 +282,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     // "the cat " bytes: min=' '(32), max='t'(116)
     assert(f0.getAs[Int]("f_min") == 32 && f0.getAs[Int]("f_max") == 116)
   }
+
+  // ---------- CorpusOps ----------
+
+  test("boilerplate line removal: distinct-doc frequency, order, all-boilerplate docs") {
+    val multi = Seq(
+      (1L, "BANNER\nalpha one\nFOOTER"),
+      (2L, "BANNER\nbeta two\nFOOTER"),
+      (3L, "BANNER\ngamma three"),
+      (4L, "BANNER\nFOOTER"), // all boilerplate
+      // "echo" repeats inside ONE doc -> doc_freq 1 -> content, kept 3x;
+      // interleaving pins order preservation
+      (5L, "echo\necho\ndelta five\necho")
+    ).toDF("doc_id", "text")
+    // BANNER df=4, FOOTER df=3 (== threshold, removed), echo df=1 (kept)
+    val boiler = CorpusOps.boilerplateLines(multi, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(boiler == Map("BANNER" -> 4L, "FOOTER" -> 3L))
+    val out = CorpusOps.removeBoilerplateLines(multi, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha one", 1L, 2L)))
+    assert(out(3L) == (("gamma three", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 2L))) // fully boilerplate, not dropped
+    assert(out(5L) == (("echo\necho\ndelta five\necho", 4L, 0L)))
+  }
+
+  test("hash split is deterministic, in-range, and pinned to md5 semantics") {
+    val in = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("doc_id", "text")
+    val rows = CorpusOps.hashSplit(in).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // md5("abc") = 900150 98... -> 0x90015098 = 2416005272 -> % 100 = 72
+    assert(rows(1L) == ((72L, "train")))
+    assert(rows(1L) == rows(2L)) // pure function of content
+    rows.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // split boundaries honor custom percentages
+    val splits = CorpusOps.hashSplit(in, trainPct = 10, valPct = 80).collect()
+      .map(r => r.getLong(1) -> r.getString(2))
+    splits.foreach { case (b, s) =>
+      assert(s == (if (b < 10) "train" else if (b < 90) "val" else "test"))
+    }
+  }
 }
