@@ -60,6 +60,31 @@ object CorpusOps {
         count(when(col("__boiler").isNotNull, 1)).as("removed_lines"))
   }
 
+  // PII patterns (Java regex, evaluated by Catalyst's codegen'd
+  // RegExpReplace/RegExpCount — no UDF). Scrub order matters: emails first
+  // (their digits must not half-match the phone pattern), then phones, then
+  // IPv4. The \b guards keep version-ish strings ("v1.2.3.4") intact.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Map-only PII redaction over a text column: emails → `<EMAIL>`, simple
+    * NANP-style phone numbers → `<PHONE>`, IPv4 literals → `<IP>`, plus
+    * per-kind match counts (for scrub-rate monitoring). Pure per-row
+    * projection — no shuffle, stays inside whole-stage codegen, and the
+    * counts aggregate map-side if rolled up downstream. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(emailRe)))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)))
+      .withColumn("n_ips",
+        regexp_count(regexp_replace(t, phoneRe, "<PHONE>"), lit(ipv4Re)))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipv4Re, "<IP>"))
+  }
+
   /** Deterministic content-hash split assignment: bucket = first 32 bits of
     * md5(text) mod 100, split by cumulative percentage (train < trainPct ≤
     * val < trainPct+valPct ≤ test). Pure per-row projection — map-only, no

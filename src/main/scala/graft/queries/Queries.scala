@@ -276,6 +276,53 @@ object Queries {
        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
   }
 
+  /** PII scrubbing over a pinned corpus (emails / phones / IPv4): each row
+    * carries the engine-scrubbed text NEXT TO the expected literal plus the
+    * per-kind match counts — the canon-corpus self-evidence pattern. Rows:
+    * (case_id, text, expected, n_emails, n_phones, n_ips). */
+  val piiCorpus: Seq[(Long, String, String, Int, Int, Int)] = Seq(
+    (1L, "contact alice.smith+spam@mail.example.org for details",
+      "contact <EMAIL> for details", 1, 0, 0),
+    (2L, "two mails: a@b.co and c_d%e@sub.domain.io end",
+      "two mails: <EMAIL> and <EMAIL> end", 2, 0, 0),
+    (3L, "call 555-123-4567 or 555.987.6543 today",
+      "call <PHONE> or <PHONE> today", 0, 2, 0),
+    (4L, "server at 192.168.1.1 and 10.0.0.255 responded",
+      "server at <IP> and <IP> responded", 0, 0, 2),
+    (5L, "mixed: bob@corp.net, 555-867-5309, 127.0.0.1 done",
+      "mixed: <EMAIL>, <PHONE>, <IP> done", 1, 1, 1),
+    // no TLD -> not an email; digits glued to a word -> no \b -> no IP
+    (6L, "not pii: user@localhost and v1.2.3.4 stay",
+      "not pii: user@localhost and v1.2.3.4 stay", 0, 0, 0),
+    (7L, "edge: starts a@b.io and ends 1.2.3.4",
+      "edge: starts <EMAIL> and ends <IP>", 1, 0, 1),
+    (8L, "plain text with no identifiers at all",
+      "plain text with no identifiers at all", 0, 0, 0),
+    // phone-shaped dotted number must scrub as PHONE, never as an IP
+    (9L, "dotted phone 123.456.7890 is a phone",
+      "dotted phone <PHONE> is a phone", 0, 1, 0))
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = piiCorpus.map { case (id, text, exp, _, _, _) => (id, text, exp) }
+      .toDF("case_id", "text", "expected")
+    CorpusOps.scrubPii(docs)
+      .withColumn("ok", col("clean_text") <=> col("expected"))
+      .select(col("case_id"), col("text"), col("expected"), col("clean_text"),
+        col("n_emails"), col("n_phones"), col("n_ips"), col("ok"))
+      .orderBy(col("case_id"))
+  }
+
+  val piiScrubSql: String = {
+    val values = piiCorpus.map { case (id, text, exp, ne, np, ni) =>
+      s"(CAST($id AS BIGINT), '$text', '$exp', '$exp', $ne, $np, $ni, true)"
+    }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$values
+       |) AS t(case_id, text, expected, clean_text, n_emails, n_phones, n_ips, ok)
+       |ORDER BY case_id""".stripMargin
+  }
+
   /** Deterministic content-hash train/val/test split over documents. */
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     CorpusOps.hashSplit(t(s, dir, "documents")).orderBy(col("doc_id"))
@@ -810,7 +857,8 @@ object Queries {
     "q_canon_corpus" -> canonCorpus _,
     "q_extract_links" -> extractLinks _,
     "q_line_dedup" -> lineDedup _,
-    "q_hash_split" -> hashSplit _)
+    "q_hash_split" -> hashSplit _,
+    "q_pii_scrub" -> piiScrub _)
 
   val oracles: Map[String, String] = Map(
     "q_seen_antijoin" -> seenAntijoinSql,
@@ -843,5 +891,6 @@ object Queries {
     "q_fingerprint" -> fingerprintSql,
     "q_canon_corpus" -> canonCorpusSql,
     "q_line_dedup" -> lineDedupSql,
-    "q_hash_split" -> hashSplitSql)
+    "q_hash_split" -> hashSplitSql,
+    "q_pii_scrub" -> piiScrubSql)
 }

@@ -308,6 +308,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(5L) == (("echo\necho\ndelta five\necho", 4L, 0L)))
   }
 
+  test("pii scrub: emails, phones, ipv4 redacted; lookalikes untouched") {
+    val in = Seq(
+      (1L, "mail bob@corp.net or call 555-867-5309 from 10.0.0.1"),
+      (2L, "user@localhost and v1.2.3.4 are not pii"),
+      (3L, "dotted 123.456.7890 is a phone, not an ip")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.scrubPii(in).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ==
+      "mail <EMAIL> or call <PHONE> from <IP>")
+    assert(out(1L).getAs[Int]("n_emails") == 1 &&
+      out(1L).getAs[Int]("n_phones") == 1 && out(1L).getAs[Int]("n_ips") == 1)
+    // no TLD -> not an email; no word boundary after 'v' -> not an ip
+    assert(out(2L).getAs[String]("clean_text") ==
+      "user@localhost and v1.2.3.4 are not pii")
+    assert(out(3L).getAs[String]("clean_text") ==
+      "dotted <PHONE> is a phone, not an ip")
+    assert(out(3L).getAs[Int]("n_ips") == 0)
+  }
+
   test("hash split is deterministic, in-range, and pinned to md5 semantics") {
     val in = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("doc_id", "text")
     val rows = CorpusOps.hashSplit(in).collect()
