@@ -41,13 +41,23 @@ object CorpusOps {
     * Two shuffles total (the boilerplate groupBy and the per-doc
     * reassembly) — the per-line membership test itself is a broadcast hash
     * join against the small boilerplate set, so no extra shuffle of the
-    * exploded lines on the join key. */
-  def removeBoilerplateLines(docs: DataFrame, minDocs: Long): DataFrame = {
+    * exploded lines on the join key.
+    *
+    * `broadcastBoiler = false` drops the forced broadcast for the regime
+    * where the boilerplate set itself is huge — a low ABSOLUTE threshold
+    * over a very large corpus (minDocs=3 at 100 TB can yield billions of
+    * lines, past any driver/executor memory). Catalyst then picks the
+    * strategy itself: with AQE it still broadcasts when the aggregated set
+    * measures small at runtime, and degrades to a shuffled join (one extra
+    * exchange of the exploded lines, never an OOM) when it does not. */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Long,
+      broadcastBoiler: Boolean = true): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val boiler = boilerplateLines(docs, minDocs)
+    val boiler0 = boilerplateLines(docs, minDocs)
       .select(col("line"), lit(1).as("__boiler"))
-    lines.join(broadcast(boiler), Seq("line"), "left")
+    val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
+    lines.join(boiler, Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(
         // collect_list skips nulls, so only kept lines enter; array_sort on

@@ -306,6 +306,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == (("gamma three", 1L, 1L)))
     assert(out(4L) == (("", 0L, 2L))) // fully boilerplate, not dropped
     assert(out(5L) == (("echo\necho\ndelta five\necho", 4L, 0L)))
+
+    // broadcastBoiler=false (the huge-boilerplate-set regime: Catalyst picks
+    // the join strategy) must be result-identical to the forced broadcast
+    val noBcast = CorpusOps.removeBoilerplateLines(multi, 3, broadcastBoiler = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(noBcast == out)
   }
 
   test("pii scrub: emails, phones, ipv4 redacted; lookalikes untouched") {
