@@ -41,6 +41,8 @@ object E2EProbe {
     // crawlE2E
     val variants = Seq(("4", "true"), ("1", "true"), ("4", "false"), ("1", "false"))
     val reps = sys.env.getOrElse("SPARK_GRAFT_E2E_AB_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_E2E_AB_REPS must be >= 1 (got $reps): " +
+      "the summary needs at least one timed rep per variant")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     val times = scala.collection.mutable.Map.empty[(String, String), List[Double]]
@@ -61,7 +63,9 @@ object E2EProbe {
     variants.foreach { v =>
       val t = times(v)
       System.err.println(f"E2EAB_SUMMARY parts=${v._1} aqe=${v._2} " +
-        f"min=${t.min}%.2f median=${t.sorted.apply(t.size / 2)}%.2f")
+        // lower middle on an even count — same conservative convention as
+        // Bench's median-pair selection
+        f"min=${t.min}%.2f median=${t.sorted.apply((t.size - 1) / 2)}%.2f")
     }
   }
 }

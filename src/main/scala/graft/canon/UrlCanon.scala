@@ -96,20 +96,18 @@ final class LinkTypeChecker(host: String) {
 object LinkTypeChecker {
   // One compiled-regex set per host, cached per executor JVM. BOUNDED: a
   // web-scale crawl sees 10^8+ hosts per executor lifetime; an unbounded
-  // map is an OOM. At the ceiling each insert evicts ONE arbitrary resident
-  // entry (random replacement — no LRU bookkeeping under contention, and no
-  // whole-cache clear whose thundering-herd recompile would stall every
-  // executor thread crossing the boundary together).
+  // map is an OOM. At the ceiling each insert evicts ONE random resident
+  // entry (no LRU bookkeeping under contention, and no whole-cache clear
+  // whose thundering-herd recompile would stall every executor thread
+  // crossing the boundary together; randomized victim choice so concurrent
+  // evictors cannot collide on one entry — see [[graft.util.BoundedEvict]]).
   private val MaxEntries = 1 << 16
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, LinkTypeChecker]()
   def forHost(host: String): LinkTypeChecker = {
     val hit = cache.get(host)
     if (hit != null) hit
     else {
-      if (cache.size >= MaxEntries) {
-        val it = cache.keySet().iterator()
-        if (it.hasNext) cache.remove(it.next())
-      }
+      if (cache.size >= MaxEntries) graft.util.BoundedEvict.evictOne(cache)
       cache.computeIfAbsent(host, h => new LinkTypeChecker(h))
     }
   }

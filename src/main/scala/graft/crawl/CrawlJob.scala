@@ -54,9 +54,10 @@ object CrawlJob {
     // redirect closure's logical plan is a maxRedirects-deep join/union
     // tree, and WITHOUT truncation every round's plan embeds it and pays
     // its Catalyst analysis again — checkpointing collapses it to a
-    // LogicalRDD leaf once
+    // LogicalRDD leaf once (resolveRedirects checkpoints internally so its
+    // hop-table cache is released as soon as the closure materializes)
     val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
-    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).localCheckpoint(true)
+    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg)
 
     var round = 0
     var frontier: DataFrame = null
@@ -215,9 +216,15 @@ object CrawlJob {
     base.select(dataCols.toIndexedSeq :+ col("round").cast("int").as("round"): _*)
   }
 
+  /** Empty metrics table in the exact shape a populated run yields: like
+    * [[emptyResults]], `round` moves LAST as int (TableIO.writeMetrics drops
+    * the data column; readAppendTable re-materializes it from the partition
+    * dir, appended after the data columns). */
   private def emptyMetrics(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.emptyDataset[RoundMetrics].toDF()
+    val base = spark.emptyDataset[RoundMetrics].toDF()
+    val dataCols = base.columns.filter(_ != "round").map(col)
+    base.select(dataCols.toIndexedSeq :+ col("round").cast("int").as("round"): _*)
   }
 
   /** Checkpoint-free variant for embedded use (driver smoke query, tests,
@@ -234,8 +241,9 @@ object CrawlJob {
     // localCheckpoint (not cache): collapse the static plans to LogicalRDD
     // leaves so the per-round Catalyst work doesn't grow with maxRedirects,
     // and embedded LocalRelation fixtures don't ride inside every plan
+    // (resolveRedirects checkpoints internally)
     val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
-    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg).localCheckpoint(true)
+    val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg)
     val pagesCk = pages.localCheckpoint(true)
     var frontier = seedFrontier(spark, seeds).persist()
     var seen = emptySeen(spark).persist()

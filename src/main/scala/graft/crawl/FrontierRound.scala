@@ -110,14 +110,26 @@ object FrontierRound {
         hostOfUdf(col("src_url")), col("src_url")))
       .cache()
 
+    // Collapse the finished closure to a LogicalRDD leaf HERE (eager
+    // checkpoint): the closure is a maxRedirects-deep join/union tree that
+    // every round's plan would otherwise embed and re-analyze, and
+    // materializing inside lets `r`'s cache — which exists only to dedupe
+    // the hop joins of this one build — be released immediately instead of
+    // lingering for the job's lifetime.
+    def finish(plan: DataFrame): DataFrame = {
+      val out = plan.localCheckpoint(true)
+      r.unpersist()
+      out
+    }
+
     val emptyChain = array().cast(FrontierRound.chainType)
 
     if (cfg.ignoreRedirects || cfg.maxRedirects == 0) {
       // HEAD answers 3xx but the chain is never followed (run_config
       // ignore_redirects, fetch_header_command.rs:49) — no hops recorded
-      return r.select(col("src_url").as("start_url"), col("src_url").as("final_url"),
+      return finish(r.select(col("src_url").as("start_url"), col("src_url").as("final_url"),
         lit(0).as("n_redirects"), lit(true).as("terminal_is_redirect"),
-        col("status").as("terminal_status"), emptyChain.as("redirects"))
+        col("status").as("terminal_status"), emptyChain.as("redirects")))
     }
 
     def hop(source: Column, destination: Column, status: Column, headers: Column): Column =
@@ -158,11 +170,12 @@ object FrontierRound {
         lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"),
         col("chain").as("redirects"))
     val tail = exhaustedRedirect.union(exhaustedClean)
-    if (done == null) tail
-    else done.select(col("start_url"), col("cur_url").as("final_url"),
-      col("n_redirects"), lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"),
-      col("chain").as("redirects"))
-      .union(tail)
+    finish(
+      if (done == null) tail
+      else done.select(col("start_url"), col("cur_url").as("final_url"),
+        col("n_redirects"), lit(false).as("terminal_is_redirect"), lit(0).as("terminal_status"),
+        col("chain").as("redirects"))
+        .union(tail))
   }
 
   // ---------- the round ----------

@@ -82,17 +82,23 @@ object CorpusOps {
     * NANP-style phone numbers → `<PHONE>`, IPv4 literals → `<IP>`, plus
     * per-kind match counts (for scrub-rate monitoring). Pure per-row
     * projection — no shuffle, stays inside whole-stage codegen, and the
-    * counts aggregate map-side if rolled up downstream. */
+    * counts aggregate map-side if rolled up downstream.
+    *
+    * Each kind is COUNTED on the text with all earlier-stage redactions
+    * applied, mirroring the replacement chain exactly — so a match the
+    * chain redacts as one kind is never double-counted as another (an
+    * email like `bob@1.2.3.4.net` is one email, zero IPs; a phone-shaped
+    * email local part never increments n_phones). Counts always agree
+    * with what `clean_text` actually replaced. */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val afterEmails = regexp_replace(t, emailRe, "<EMAIL>")
+    val afterPhones = regexp_replace(afterEmails, phoneRe, "<PHONE>")
     docs
       .withColumn("n_emails", regexp_count(t, lit(emailRe)))
-      .withColumn("n_phones", regexp_count(t, lit(phoneRe)))
-      .withColumn("n_ips",
-        regexp_count(regexp_replace(t, phoneRe, "<PHONE>"), lit(ipv4Re)))
-      .withColumn("clean_text",
-        regexp_replace(regexp_replace(regexp_replace(t,
-          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipv4Re, "<IP>"))
+      .withColumn("n_phones", regexp_count(afterEmails, lit(phoneRe)))
+      .withColumn("n_ips", regexp_count(afterPhones, lit(ipv4Re)))
+      .withColumn("clean_text", regexp_replace(afterPhones, ipv4Re, "<IP>"))
   }
 
   /** Deterministic content-hash split assignment: bucket = first 32 bits of

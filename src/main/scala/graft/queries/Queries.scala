@@ -300,7 +300,15 @@ object Queries {
       "plain text with no identifiers at all", 0, 0, 0),
     // phone-shaped dotted number must scrub as PHONE, never as an IP
     (9L, "dotted phone 123.456.7890 is a phone",
-      "dotted phone <PHONE> is a phone", 0, 1, 0))
+      "dotted phone <PHONE> is a phone", 0, 1, 0),
+    // counts follow the replacement chain (ADVICE r4): an IP-shaped email
+    // host is one EMAIL and zero IPs; a phone-shaped email local part is
+    // one EMAIL and zero phones — each kind counts on the text with all
+    // earlier-stage redactions applied, so counts = what was replaced
+    (10L, "email bob@1.2.3.4.net hides an ip",
+      "email <EMAIL> hides an ip", 1, 0, 0),
+    (11L, "phoneish 555-123-4567@relay.io local part",
+      "phoneish <EMAIL> local part", 1, 0, 0))
 
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

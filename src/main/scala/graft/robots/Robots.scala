@@ -96,18 +96,25 @@ object Robots {
   /** Per-executor memoized parse: the reference parses robots.txt ONCE per
     * host (robots_service.rs:55-110); evaluating rules per frontier row must
     * not re-parse the body per row (billions of rows/round at scale). Keyed
-    * by body text (1:1 with host in practice); bounded — on overflow the
-    * cache drops whole (bodies are ~1 KB, re-parse is cheap and rare). */
+    * by body text (1:1 with host in practice); BOUNDED with single-entry
+    * random eviction at the ceiling (same policy as
+    * [[graft.canon.LinkTypeChecker.forHost]]) — a whole-cache clear would
+    * thundering-herd every executor thread crossing the boundary together
+    * into a simultaneous re-parse of the hot bodies. */
   private val MaxParsed = 4096
   private val parsed = new java.util.concurrent.ConcurrentHashMap[String, Seq[Group]]()
   def parseCached(body: String): Seq[Group] = {
     val hit = parsed.get(body)
     if (hit != null) hit
     else {
-      if (parsed.size >= MaxParsed) parsed.clear()
+      if (parsed.size >= MaxParsed) graft.util.BoundedEvict.evictOne(parsed)
       parsed.computeIfAbsent(body, parse _)
     }
   }
+
+  /** Test seam: current parse-cache size (contention specs pin that an
+    * overflow evicts one entry, never clears the cache whole). */
+  private[graft] def parsedCacheSize: Int = parsed.size
 
   /** `*` / `$` wildcard path match, longest-match-wins, allow wins ties. */
   def allowedByRules(body: String, agent: String, url: String): Boolean = {

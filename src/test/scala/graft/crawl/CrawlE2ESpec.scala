@@ -416,5 +416,14 @@ class CrawlE2ESpec extends AnyFunSuite {
       CrawlConfig(maxDepth = 1, hostQuotaPerRound = 1))
     assert(inMem.columns.toSeq == populated.columns.toSeq)
     assert(job.results.columns.toSeq == populated.columns.toSeq)
+    // metrics shape parity too: the populated persistent path drops `round`
+    // at write and re-materializes it LAST from the partition dir — the
+    // zero-round branch must emit the same order (ADVICE r4)
+    val popDir = java.nio.file.Files.createTempDirectory("crawl-popmet").toString
+    val popJob = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf,
+      CrawlConfig(maxDepth = 1, hostQuotaPerRound = 1, maxRounds = 1), popDir)
+    assert(popJob.metrics.count() > 0)
+    assert(job.metrics.columns.toSeq == popJob.metrics.columns.toSeq)
+    assert(job.metrics.schema.map(_.dataType) == popJob.metrics.schema.map(_.dataType))
   }
 }

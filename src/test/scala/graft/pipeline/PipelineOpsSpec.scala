@@ -319,7 +319,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val in = Seq(
       (1L, "mail bob@corp.net or call 555-867-5309 from 10.0.0.1"),
       (2L, "user@localhost and v1.2.3.4 are not pii"),
-      (3L, "dotted 123.456.7890 is a phone, not an ip")
+      (3L, "dotted 123.456.7890 is a phone, not an ip"),
+      (4L, "ip-shaped email host bob@1.2.3.4.net counts once")
     ).toDF("doc_id", "text")
     val out = CorpusOps.scrubPii(in).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -333,6 +334,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("clean_text") ==
       "dotted <PHONE> is a phone, not an ip")
     assert(out(3L).getAs[Int]("n_ips") == 0)
+    // counts mirror the replacement chain: a match redacted as an EMAIL is
+    // never also counted as an IP (each kind counts on the text with all
+    // earlier-stage redactions applied)
+    assert(out(4L).getAs[String]("clean_text") ==
+      "ip-shaped email host <EMAIL> counts once")
+    assert(out(4L).getAs[Int]("n_emails") == 1 &&
+      out(4L).getAs[Int]("n_phones") == 0 && out(4L).getAs[Int]("n_ips") == 0)
   }
 
   test("hash split is deterministic, in-range, and pinned to md5 semantics") {

@@ -88,4 +88,31 @@ class RobotsSpec extends AnyFunSuite {
     // rule evaluation (what runs per frontier row) vs a per-row re-parse
     System.err.println(f"ROBOTSBENCH n=$n evalCached=${n / tEval}%.0f/s parseEveryRow=${n / (tParse + tEval)}%.0f/s parseCost=${tParse / (tParse + tEval) * 100}%.0f%%")
   }
+
+  test("parse cache overflow evicts one entry at a time, never clears whole") {
+    // fill well past the 4096 ceiling from several threads at once (the
+    // executor-thread shape): after the boundary every insert evicts ONE
+    // resident, so the cache must stay ~full — a whole-cache clear (the r4
+    // thundering-herd shape LinkTypeChecker fixed) would leave it near-empty
+    // whenever the last batch straddles the boundary
+    val threads = 8
+    val perThread = 800 // 6400 distinct bodies total > 4096
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (0 until threads).foreach { t =>
+      pool.execute { () =>
+        (0 until perThread).foreach { i =>
+          Robots.parseCached(s"user-agent: *\ndisallow: /t$t/i$i\n")
+        }
+        done.countDown()
+      }
+    }
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val size = Robots.parsedCacheSize
+    // check-then-evict races can overshoot by at most one per thread, and
+    // each racing insert evicts at most one — the bound is ±threads
+    assert(size >= 4096 - threads && size <= 4096 + threads,
+      s"cache size $size after overflow: expected ~4096 (single-entry eviction)")
+  }
 }
