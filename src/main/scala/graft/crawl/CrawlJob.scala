@@ -63,7 +63,11 @@ object CrawlJob {
     var frontier: DataFrame = null
     var seen: DataFrame = null
 
-    var bloomBytes: Map[Int, Array[Byte]] = Map.empty
+    // the persistent loop's blooms are FILE-BACKED: the driver tracks only
+    // the latest committed filter DIRECTORY (the filters themselves are
+    // built and merged executor-side, one file per bucket — the driver
+    // never materializes filter bytes; ~9 GB at the 10^10 design point)
+    var bloomDir: Option[String] = None
     // cumulative seen count, maintained INCREMENTALLY (the cumulative seen
     // table is never rescanned for a metric) + the bloom capacity derived
     // from it (filters are rebuilt wider when the load crosses capacity)
@@ -79,14 +83,17 @@ object CrawlJob {
       if (cfg.useBloomSeen) {
         bloomCap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,
           seenTotal / math.max(cfg.seenBuckets, 1))
-        bloomBytes = io.readBlooms(last)
+        bloomDir = Some(io.bloomsDir(last)).filter(_ => io.hasBlooms(last))
         // exact-resume guard: a checkpoint written pre-bloom (or partially
-        // restored) has seen rows but no bloom files — an empty bloom map
-        // would mark every url "definitely new" and silently skip the seen
-        // anti-join. Rebuild from the seen table instead.
-        if (bloomBytes.isEmpty && seenTotal > 0)
-          bloomBytes = SeenFilter.buildBlooms(seen.select("url"),
-            cfg.seenBuckets, bloomCap)
+        // restored) has seen rows but no bloom files — rebuild the filter
+        // files from the seen table (distributed; no driver bytes). A
+        // missing-file probe falls back to the exact join, so this guard is
+        // an accelerator repair, never a correctness one.
+        if (bloomDir.isEmpty && seenTotal > 0) {
+          SeenFilter.writeMergedBlooms(seen.select("url"), cfg.seenBuckets,
+            bloomCap, None, io.bloomsDir(last))
+          bloomDir = Some(io.bloomsDir(last))
+        }
       }
     } else {
       frontier = seedFrontier(spark, seeds)
@@ -97,10 +104,11 @@ object CrawlJob {
     val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (frontierCount > 0 && round < cfg.maxRounds) {
       val roundT0 = System.nanoTime()
-      val blooms =
-        if (cfg.useBloomSeen)
-          Some(SeenFilter.broadcastBlooms(spark, cfg.seenBuckets, bloomBytes))
-        else None
+      // broadcast payload: a path + bucket count + Hadoop conf, constant
+      // size at any scale; bloomDir empty (fresh round 0) ⇒ seen is empty ⇒
+      // the plain anti-join is already trivial, no probe needed
+      val blooms = bloomDir.filter(_ => cfg.useBloomSeen).map(d =>
+        SeenFilter.broadcastFileBlooms(spark, cfg.seenBuckets, d))
       // salted scheduling only when some host CAN exceed the threshold —
       // the driver-known frontier total gates it. The mega set stays a
       // DataFrame: the host-count aggregate rides the round plan as a
@@ -136,16 +144,20 @@ object CrawlJob {
       if (cfg.useBloomSeen) {
         val cap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,
           seenTotal / math.max(cfg.seenBuckets, 1))
+        val dir = io.bloomsDir(round)
         if (cap > bloomCap) {
           // load crossed capacity: rebuild ALL filters wider from the full
           // seen table (amortized by doubling; merge needs equal widths)
           bloomCap = cap
-          bloomBytes = SeenFilter.buildBlooms(seen.select("url"), cfg.seenBuckets, bloomCap)
+          SeenFilter.writeMergedBlooms(seen.select("url"), cfg.seenBuckets,
+            bloomCap, None, dir)
         } else {
-          bloomBytes = SeenFilter.merge(bloomBytes,
-            SeenFilter.buildBlooms(newSeenSlice, cfg.seenBuckets, bloomCap))
+          // incremental: this round's slice folded into the previous round's
+          // files (merge + copy-forward, all executor-side / streamed)
+          SeenFilter.writeMergedBlooms(newSeenSlice, cfg.seenBuckets,
+            bloomCap, bloomDir, dir)
         }
-        io.writeBlooms(round, bloomBytes)
+        bloomDir = Some(dir)
       }
       blooms.foreach(_.unpersist(false))
 

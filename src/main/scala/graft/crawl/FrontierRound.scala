@@ -353,7 +353,7 @@ object FrontierRound {
       robotsCache: DataFrame,
       resolvedRedirects: DataFrame,
       cfg: CrawlConfig,
-      seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.SeenBlooms]] = None,
+      seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.BloomProbe]] = None,
       megaHosts: Option[DataFrame] = None): RoundOutput = {
 
     // bloom-accelerated exact anti-join vs the seen set (when blooms cover

@@ -131,9 +131,20 @@ final class TableIO(spark: SparkSession, root: String) {
   def writeMetrics(round: Int, df: DataFrame): Unit =
     df.drop("round").write.mode(SaveMode.Overwrite).parquet(p("metrics", s"round=$round"))
 
-  /** Per-bucket seen-Bloom filters for the round (cumulative through the
-    * round): one binary file per bucket under blooms/round=N/. Tiny (the
-    * broadcast payload), rewritten whole each round. */
+  /** The round's per-bucket seen-Bloom filter directory (cumulative through
+    * the round; one binary file per bucket, written executor-side by
+    * [[graft.crawl.SeenFilter.writeMergedBlooms]]). */
+  def bloomsDir(round: Int): String = p("blooms", s"round=$round")
+
+  /** Does the round have at least one committed bucket filter file? */
+  def hasBlooms(round: Int): Boolean = {
+    val dir = hp("blooms", s"round=$round")
+    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.endsWith(".bloom"))
+  }
+
+  /** Driver-side map write — test/embedded convenience only; the persistent
+    * loop writes filters executor-side via
+    * [[graft.crawl.SeenFilter.writeMergedBlooms]]. */
   def writeBlooms(round: Int, blooms: Map[Int, Array[Byte]]): Unit = {
     val dir = hp("blooms", s"round=$round")
     fs.mkdirs(dir)

@@ -64,4 +64,85 @@ class SeenFilterSpec extends AnyFunSuite {
     assert(out.count() == 2)
     blooms.destroy()
   }
+
+  // ---------- file-backed probe (the persistent-loop scale path) ----------
+
+  test("file-backed bloom anti-join is exactly the plain anti-join") {
+    val dir = java.nio.file.Files.createTempDirectory("blooms-fb").toString + "/round=0"
+    val seen = (0 until 3000).map(i => s"https://h${i % 7}.test/p/$i").toDF("url")
+    val candidates = (1500 until 4500).map(i => s"https://h${i % 7}.test/p/$i")
+      .toDF("url").withColumn("depth", lit(1))
+    val touched = SeenFilter.writeMergedBlooms(seen, 16, 1024, None, dir)
+    assert(touched > 0 && touched <= 16)
+    // maxCached=2 over 16 buckets: the per-executor cache must evict and
+    // reload under pressure without losing exactness
+    val blooms = SeenFilter.broadcastFileBlooms(spark, 16, dir, maxCached = 2)
+    val withBloom = SeenFilter.bloomAntiJoin(candidates, seen, blooms)
+      .select("url").as[String].collect().sorted
+    val plain = candidates.join(seen, Seq("url"), "left_anti")
+      .select("url").as[String].collect().sorted
+    assert(withBloom.toSeq == plain.toSeq)
+    assert(plain.length == 1500)
+    blooms.destroy()
+  }
+
+  test("incremental merged write: new slice folded in, untouched buckets copied forward") {
+    val base = java.nio.file.Files.createTempDirectory("blooms-inc").toString
+    // round 0: urls spread over all 8 buckets
+    val r0 = (0 until 800).map(i => s"u$i").toDF("url")
+    SeenFilter.writeMergedBlooms(r0, 8, 512, None, s"$base/round=0")
+    // round 1: a slice touching only SOME buckets
+    val r1 = (800 until 820).map(i => s"u$i").toDF("url")
+    SeenFilter.writeMergedBlooms(r1, 8, 512, Some(s"$base/round=0"), s"$base/round=1")
+    // the round-1 dir is the full cumulative set: every url from either
+    // round probes positive through it (copy-forward covered the buckets
+    // the slice never touched)
+    val blooms = SeenFilter.broadcastFileBlooms(spark, 8, s"$base/round=1")
+    val probe = (0 until 820).map(i => s"u$i").toDF("url")
+      .select(SeenFilter.bucketOf(col("url"), 8).as("bucket"),
+        xxhash64(col("url")).as("h"))
+      .as[(Long, Long)].collect()
+    probe.foreach { case (bkt, h) =>
+      assert(blooms.value.mightContain(bkt.toInt, h), s"bucket $bkt missing a url")
+    }
+    blooms.destroy()
+  }
+
+  test("file-backed probe ships no filter bytes; a missing bucket file falls back to the exact join") {
+    val dir = java.nio.file.Files.createTempDirectory("blooms-miss").toString + "/round=0"
+    val seen = (0 until 4000).map(i => s"https://h.test/p/$i").toDF("url")
+    SeenFilter.writeMergedBlooms(seen, 8, 1024, None, dir)
+    // the broadcast handle is CONSTANT-SIZE in the seen set — a path, a
+    // bucket count and the (fixed-size) Hadoop conf; never filter bytes
+    // (the r4 verdict's scale-killer was the whole filter set riding the
+    // driver + broadcast, growing ~0.9 bytes/url to ~9 GB at 10^10)
+    def handleBytes(d: String): Int = {
+      val handle = new SeenFilter.FileBlooms(d, 8,
+        new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(handle); oos.close()
+      bos.size()
+    }
+    val small = java.nio.file.Files.createTempDirectory("blooms-sm").toString + "/round=0"
+    SeenFilter.writeMergedBlooms(Seq("one").toDF("url"), 8, 16, None, small)
+    val overSmall = handleBytes(small)
+    val overBig = handleBytes(dir)
+    assert(math.abs(overBig - overSmall) <= 64,
+      s"handle must not grow with the filter volume: $overSmall vs $overBig")
+    assert(overBig < (1 << 20), s"handle serialized to $overBig bytes")
+    // delete one bucket's file: its candidates must degrade to the exact
+    // anti-join (maybe-seen), never to a false "definitely new"
+    val victim = new java.io.File(dir).listFiles().head
+    assert(victim.delete())
+    val candidates = (2000 until 6000).map(i => s"https://h.test/p/$i").toDF("url")
+    val blooms = SeenFilter.broadcastFileBlooms(spark, 8, dir)
+    val withBloom = SeenFilter.bloomAntiJoin(candidates, seen, blooms)
+      .select("url").as[String].collect().sorted
+    val plain = candidates.join(seen, Seq("url"), "left_anti")
+      .select("url").as[String].collect().sorted
+    assert(withBloom.toSeq == plain.toSeq)
+    assert(plain.length == 2000)
+    blooms.destroy()
+  }
 }
