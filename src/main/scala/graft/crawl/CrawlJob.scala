@@ -21,6 +21,17 @@ object CrawlJob {
   final case class JobResult(rounds: Int, results: DataFrame, metrics: DataFrame,
       roundSecs: Seq[Double] = Nil)
 
+  /** The crawl task's id (reference: every response carries the task's
+    * uuid, page_response.rs:20, minted per PUT /crawl). Batch analog: a
+    * DETERMINISTIC name-based UUID over the task identity (seed list +
+    * config), so replays and resumes of the same task agree on it while two
+    * different tasks appended to one warehouse stay distinguishable. */
+  def resolveRunId(seeds: Seq[String], cfg: CrawlConfig): String =
+    if (cfg.runId.nonEmpty) cfg.runId
+    else java.util.UUID.nameUUIDFromBytes(
+      (seeds.sorted.mkString("\n") + "\u0000" + cfg.copy(runId = "").toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
   /** Seed intake (reference: PUT /crawl, server/src/http.rs:24-29 — seed urls
     * enter the frontier RAW, not canonicalized, page_loader_service.rs:92). */
   def seedFrontier(spark: SparkSession, seeds: Seq[String]): DataFrame = {
@@ -50,6 +61,7 @@ object CrawlJob {
     import spark.implicits._
 
     val io = new TableIO(spark, stateDir)
+    val runId = resolveRunId(seeds, cfg)
     // static per-job tables, localCheckpointed (not just cached): the
     // redirect closure's logical plan is a maxRedirects-deep join/union
     // tree, and WITHOUT truncation every round's plan embeds it and pays
@@ -121,8 +133,11 @@ object CrawlJob {
 
       // persist first, commit manifest last (atomic) — exact-resume contract
       val stamped = FrontierRound.stampTimings(out.results, round, cfg)
+        .withColumn("run_id", lit(runId))
       io.writeResults(round, stamped)
-      if (cfg.exportJsonl) io.writeResultsJsonl(round, stamped)
+      if (cfg.exportJsonl)
+        io.writeResultsJsonl(round, stamped,
+          Some(FrontierRound.exportLinks(stamped, pages)))
       io.writeSeen(round, out.newSeen
         .withColumn("bucket", pmod(xxhash64(col("url")), lit(cfg.seenBuckets))))
       io.writeFrontier(round, out.newFrontier)
@@ -257,6 +272,7 @@ object CrawlJob {
     val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
     val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg)
     val pagesCk = pages.localCheckpoint(true)
+    val runId = resolveRunId(seeds, cfg)
     var frontier = seedFrontier(spark, seeds).persist()
     var seen = emptySeen(spark).persist()
     // per-round result leaves, unioned ONCE after the loop: results are
@@ -280,46 +296,46 @@ object CrawlJob {
       val tr = System.nanoTime()
       // localCheckpoint (lazy) truncates the iterative lineage. Each lazy
       // checkpoint costs a full Catalyst optimize+codegen pass over the
-      // round tree, so the round takes exactly ONE: results and frontier
-      // ride the same checkpoint as a tagged union (missing columns
-      // null-filled), split back into leaves afterwards; newSeen is DERIVED
-      // from the results leaf (a trivial plan, see below). `round` is
-      // attached ABOVE the leaf: a changing literal inside the (identically-
-      // shaped) round tree would bust the generated-code cache and
-      // re-compile every stage every round.
+      // round tree, so the round takes exactly ONE: results, next frontier
+      // AND the new-seen delta all ride the same checkpoint as a tagged
+      // union (missing columns null-filled), split back into leaves
+      // afterwards. newSeen references the round tree's results subtree a
+      // second time, but that subtree hangs off the round's persisted
+      // intermediates, so execution pays a cache scan, not a re-join — and
+      // folding it here removes the per-round second checkpoint pass plus
+      // the separate three-leg counts plan the loop used to build (r4
+      // verdict #3: the flagship's cost is per-round fixed driver work).
+      // `round` is attached ABOVE the leaf: a changing literal inside the
+      // (identically-shaped) round tree would bust the generated-code cache
+      // and re-compile every stage every round.
       val unifiedPre = out.results.withColumn("__kind", lit("r"))
         .unionByName(out.newFrontier.withColumn("__kind", lit("f")),
           allowMissingColumns = true)
+        .unionByName(FrontierRound.newSeenOf(out.results, seen)
+          .withColumn("__kind", lit("s")), allowMissingColumns = true)
       val unified = unifiedPre.localCheckpoint(false)
       if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMING"))
         System.err.println("E2EPHASES " + unifiedPre.queryExecution.tracker.phases
           .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" "))
       val resultCols = out.results.columns
       val frontierCols = out.newFrontier.columns
+      val t0 = System.nanoTime()
+      // the ONE action of the round: materializes the checkpoint and
+      // returns all three leg counts
+      val counts = unified.groupBy(col("__kind")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tc1 = System.nanoTime()
       // round + absolute timings attach ABOVE the checkpoint leaf (changing
       // literals inside the round tree would bust the codegen cache)
       val newResults = FrontierRound.stampTimings(
         unified.filter(col("__kind") === "r").select(resultCols.map(col): _*),
-        round, cfg).withColumn("round", lit(round))
-      val tc1 = System.nanoTime()
+        round, cfg).withColumn("run_id", lit(runId))
+        .withColumn("round", lit(round))
       val newFrontier = unified.filter(col("__kind") === "f")
         .select(frontierCols.map(col): _*)
-      val t0 = System.nanoTime()
-      // same set as out.newSeen (the ONE rule lives in
-      // FrontierRound.newSeenOf), but planned over the checkpointed results
-      // leaf instead of the round tree. Still checkpointed itself — the
-      // anti-join references `seen`, and without truncation seen's plan
-      // would nest recursively — but this third optimize pass is over the
-      // tiny derived tree, not the round's.
-      val newSeenRows = FrontierRound.newSeenOf(newResults, seen)
-        .localCheckpoint(false)
-      val counts = newResults.select(lit("r").as("t"))
-        .union(newSeenRows.select(lit("s").as("t")))
-        .union(newFrontier.select(lit("f").as("t")))
-        .groupBy(col("t")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newSeenRows = unified.filter(col("__kind") === "s").select(col("url"))
       if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMING"))
-        System.err.println(f"E2EROUND round=$round build=${(tr - tb) / 1e9}%.2fs ckpt1=${(tc1 - tr) / 1e9}%.2fs ckpt2=${(t0 - tc1) / 1e9}%.2fs action=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        System.err.println(f"E2EROUND round=$round build=${(tr - tb) / 1e9}%.2fs ckpt+action=${(tc1 - t0) / 1e9}%.2fs")
       out.unpersist()
       if (cfg.useBloomSeen) {
         bloomBytes = SeenFilter.merge(bloomBytes,

@@ -13,6 +13,13 @@ final case class ChildLink(url: String, raw_url: String, rank: Int)
 /** Link-extraction output for one fetched page. */
 final case class PageLinks(n_links: Int, children: Seq[ChildLink])
 
+/** One extracted link in the reference's response shape
+  * (responses/src/link.rs:7-13: uri + optional scope/protocol/source_tag) —
+  * the JSONL export's per-page link inventory, including the scoped-out
+  * classes (External/Mailto/…) that never reach the frontier. */
+final case class LinkOut(uri: String, scope: String, protocol: String,
+    source_tag: String)
+
 /** One crawl round as pure DataFrame transformations (SURVEY.md §3.4).
   *
   * Spark-first layout: everything is a declarative plan — Catalyst pushes the
@@ -64,6 +71,31 @@ object FrontierRound {
       PageLinks(links.size, children)
     }
   })
+
+  /** FULL sorted pre-dedup link list of one page — the reference keeps this
+    * list on the PageResponse (page_response.rs:17, set from the extraction
+    * before enqueue-side dedup, page_loader_service.rs:140-144), so
+    * `links.size == n_links` by construction. Export-path only: the hot
+    * round keeps the lean [[extractChildrenUdf]] output. */
+  val extractAllLinksUdf = udf((protocol: String, host: String, html: Array[Byte]) =>
+    if (html == null) Seq.empty[LinkOut]
+    else LinkExtract.extractLinks(protocol, host,
+        new String(html, java.nio.charset.StandardCharsets.UTF_8))
+      .map(l => LinkOut(l.uri, l.scope.orNull, l.protocol.orNull, l.sourceTag)))
+
+  /** Per-page link inventory for the JSONL export (url → links array):
+    * re-joins the fat `html` only for rows that parsed a body (n_links ≥ 0)
+    * and re-runs the extraction with the SAME (protocol, host, body) triple
+    * the round used, so the array agrees with the row's n_links. Runs only
+    * when `exportJsonl` is on — never in the hot round loop. */
+  def exportLinks(results: DataFrame, pages: DataFrame): DataFrame =
+    results.filter(col("n_links") >= 0)
+      .select(col("url"), col("host"), col("final_url"))
+      .join(pages.select(col("url").as("pb_url"), col("html").as("pb_html")),
+        col("final_url") === col("pb_url"), "left")
+      .select(col("url"),
+        extractAllLinksUdf(protocolOfUdf(col("url")), col("host"),
+          col("pb_html")).as("links"))
 
   // ---------- static per-job preparation ----------
 

@@ -67,23 +67,42 @@ final class TableIO(spark: SparkSession, root: String) {
 
   /** JSONL export of a round's results (S5 parity: the reference POSTs one
     * `PageResponse` JSON per page to the callback url,
-    * server/src/http.rs:46-84). One JSON object per line
-    * (`to_json(struct(*))` — binary `priority` renders as base64), written
-    * NEXT TO the parquet results, never instead of them. The reference's
-    * `response_timings` field ({start_time, end_time, name} with
-    * name = "PageResponse.{url}", responses/src/response_timings.rs:5-10)
-    * is rendered from the row's VIRTUAL clock stamps — same schema, but
+    * server/src/http.rs:46-84). One JSON object per line, field names 1:1
+    * with PageResponse (page_response.rs:10-21): original_requested_url[_raw],
+    * final_url_after_redirects, nested `head` (head_response.rs:9-17) and
+    * `get` (get_response.rs:9-16) sub-objects each with their own
+    * StatusCode {code,label} / headers / response_timings, the full `links`
+    * inventory (link.rs:7-13), crawl_status, response_timings
+    * ({start_time, end_time, name="PageResponse.{url}"},
+    * response_timings.rs:5-10) and task_uuid. Written NEXT TO the parquet
+    * results, never instead of them. Flattening notes (engine tables hold
+    * one status/header set per row — HEAD and GET hit the same fixture row):
+    * head/get share the row's http_code+headers; get.body carries the
+    * byte-identical extracted `text` (the engine never persists raw html on
+    * results); all timings are the VIRTUAL clock stamps — same schema,
     * deterministic where the reference stamps wall time.
     *
     * One dir per round by design — the export mirrors the reference's
     * per-page callback stream, and downstream consumers retire dirs as they
     * ingest them. It is deliberately OUTSIDE the engine's bounded-listing
-    * guarantee (nothing in the engine ever lists or re-reads it). */
-  def writeResultsJsonl(round: Int, df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, concat, date_format, lit, struct,
-      timestamp_millis, to_json, transform, when}
+    * guarantee (nothing in the engine ever lists or re-reads it).
+    *
+    * `links` is the per-page inventory from [[graft.crawl.FrontierRound.exportLinks]]
+    * (url, links array); None renders the field null (export without the
+    * inventory join). */
+  def writeResultsJsonl(round: Int, df: DataFrame,
+      links: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.{array, coalesce, col, concat,
+      date_format, lit, struct, timestamp_millis, to_json, transform, when}
     val fmt = "yyyy-MM-dd HH:mm:ss.SSS 'UTC'" // DateTime<Utc>.to_string shape
     def ts(c: org.apache.spark.sql.Column) = date_format(timestamp_millis(c), fmt)
+    def timings(name: org.apache.spark.sql.Column) = struct(
+      ts(col("fetch_start_ms")).as("start_time"),
+      ts(col("fetch_end_ms")).as("end_time"), name.as("name"))
+    def statusCode(code: org.apache.spark.sql.Column) = struct(
+      code.as("code"),
+      graft.crawl.StatusCodes.labelCol(code).as("label"))
+    val linksType = "array<struct<uri:string,scope:string,protocol:string,source_tag:string>>"
     // date_format renders in the SESSION timezone, and this is a library
     // seam: an embedding session on a non-UTC zone would export local wall
     // time under the hardcoded 'UTC' label. Pin the session zone to UTC for
@@ -91,26 +110,53 @@ final class TableIO(spark: SparkSession, root: String) {
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-      val d = df.drop("round")
-        .withColumn("response_timings", struct(
-          ts(col("fetch_start_ms")).as("start_time"),
-          ts(col("fetch_end_ms")).as("end_time"),
-          concat(lit("PageResponse."), col("url")).as("name")))
-        // each hop serializes its own response_timings too (append_redirect
-        // names them "Redirect.{source}", fetch_header_command.rs:80); the
-        // walk happens inside the row's HEAD window, so hops share the row's
-        // virtual stamps
-        .withColumn("redirects", when(col("redirects").isNotNull,
-          transform(col("redirects"), h => struct(
-            h.getField("source").as("source"),
-            h.getField("destination").as("destination"),
-            h.getField("status").as("status"),
-            h.getField("headers").as("headers"),
-            struct(ts(col("fetch_start_ms")).as("start_time"),
-              ts(col("fetch_end_ms")).as("end_time"),
-              concat(lit("Redirect."), h.getField("source")).as("name"))
-              .as("response_timings")))))
-      d.select(to_json(struct(d.columns.map(col): _*)).as("value"))
+      val joined = links.map(l =>
+        df.join(l.withColumnRenamed("url", "__links_url"),
+          col("url") === col("__links_url"), "left"))
+        .getOrElse(df.withColumn("links", lit(null).cast(linksType)))
+      // head exists iff an HTTP HEAD got a response (http_code ≥ 0);
+      // hops serialize their own StatusCode + response_timings
+      // (append_redirect names them "Redirect.{source}",
+      // fetch_header_command.rs:73-81; the walk happens inside the row's
+      // HEAD window, so hops share the row's virtual stamps); a successful
+      // HEAD always carries a (possibly empty) redirects Vec
+      val head = when(col("http_code") >= 0, struct(
+        col("url").as("requested_url"),
+        transform(coalesce(col("redirects"),
+            array().cast(graft.crawl.FrontierRound.chainType)), h => struct(
+          h.getField("source").as("source"),
+          h.getField("destination").as("destination"),
+          statusCode(h.getField("status")).as("http_response_code"),
+          h.getField("headers").as("headers"),
+          struct(ts(col("fetch_start_ms")).as("start_time"),
+            ts(col("fetch_end_ms")).as("end_time"),
+            concat(lit("Redirect."), h.getField("source")).as("name"))
+            .as("response_timings"))).as("redirects"),
+        statusCode(col("http_code")).as("http_response_code"),
+        col("headers").as("headers"),
+        timings(concat(lit("HEADResponse."), col("url")))
+          .as("response_timings")))
+      // get exists iff a body was downloaded and parsed (n_links ≥ 0); the
+      // GET is issued against the post-redirect target (get_response.rs:9)
+      val get = when(col("n_links") >= 0, struct(
+        col("final_url").as("requested_url"),
+        statusCode(col("http_code")).as("http_response_code"),
+        col("headers").as("headers"),
+        col("text").as("body"),
+        timings(concat(lit("GETResponse."), col("final_url")))
+          .as("response_timings")))
+      joined.select(to_json(struct(
+          col("url").as("original_requested_url"),
+          col("raw_url").as("original_requested_url_raw"),
+          col("final_url").as("final_url_after_redirects"),
+          head.as("head"),
+          get.as("get"),
+          when(col("n_links") >= 0,
+            coalesce(col("links"), lit(null).cast(linksType))).as("links"),
+          col("crawl_status").as("crawl_status"),
+          timings(concat(lit("PageResponse."), col("url")))
+            .as("response_timings"),
+          col("run_id").as("task_uuid"))).as("value"))
         .write.mode(SaveMode.Overwrite).text(p("results_jsonl", s"round=$round"))
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }

@@ -72,6 +72,11 @@ final case class CrawlConfig(
     useBloomSeen: Boolean = true,
     /** Also export each round's results as JSONL (S5 parity path). */
     exportJsonl: Boolean = false,
+    /** Crawl-task id stamped on every [[ResultRow.run_id]] (reference
+      * task_uuid, page_response.rs:20). Empty = derive a deterministic UUID
+      * from seeds + config at job entry (replay- and resume-stable); set it
+      * explicitly for per-launch uniqueness. */
+    runId: String = "",
     /** Bloom sizing: expected urls per bucket (3% fpp at this load). At
       * 10^10 urls raise seenBuckets so this stays ≤ ~4M per bucket. */
     bloomExpectedPerBucket: Long = 4096L,
@@ -136,10 +141,17 @@ final case class ResultRow(
     fetch_start_ms: Long,       // virtual politeness clock (PageResponse
                                 // response_timings parity, deterministic —
                                 // see CrawlConfig.virtualEpochMs)
-    fetch_end_ms: Long)         // = start + crawlDelayMs when an HTTP
+    fetch_end_ms: Long,         // = start + crawlDelayMs when an HTTP
                                 // exchange happened (Fetched/ConnectionError),
                                 // else = start (gate decisions are
                                 // zero-duration in virtual time)
+    run_id: String)             // crawl-task identifier (PageResponse
+                                // task_uuid parity, page_response.rs:20).
+                                // Deterministic UUID derived from
+                                // seeds + config unless CrawlConfig.runId
+                                // overrides — two runs appended to one
+                                // warehouse stay distinguishable, and a
+                                // RESUME of the same task keeps its id
 
 object CrawlStatus {
   val Fetched = "Fetched"

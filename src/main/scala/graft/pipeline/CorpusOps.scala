@@ -22,8 +22,11 @@ object CorpusOps {
     * is the pinned semantic: a line repeated inside ONE document is content
     * (e.g. a refrain), not boilerplate.
     *
-    * Scale shape: one shuffle on the line hash with map-side partial
-    * aggregation. The RESULT is small by construction — at threshold K the
+    * Scale shape: TWO exchanges, both with map-side partial aggregation —
+    * distinct-doc counting is inherently a two-exchange aggregate (partial
+    * dedup keyed (line, doc_id), exchange on that pair, then the count
+    * re-shuffled on line); no single-shuffle plan computes countDistinct
+    * exactly. The RESULT is small by construction — at threshold K the
     * boilerplate set has at most total_lines/K members and in practice is
     * tiny (it is the site chrome of the corpus) — which is what makes the
     * broadcast in [[removeBoilerplateLines]] safe at 100 TB. */
@@ -38,10 +41,11 @@ object CorpusOps {
     * order, plus kept/removed counts. A document that is ALL boilerplate
     * yields an empty `cleaned_text` (a downstream length filter drops it).
     *
-    * Two shuffles total (the boilerplate groupBy and the per-doc
-    * reassembly) — the per-line membership test itself is a broadcast hash
-    * join against the small boilerplate set, so no extra shuffle of the
-    * exploded lines on the join key.
+    * Three exchanges total (the boilerplate count's two — see
+    * [[boilerplateLines]] — plus the per-doc reassembly); the per-line
+    * membership test itself is a broadcast hash join against the small
+    * boilerplate set, so the EXPLODED lines are shuffled exactly once (on
+    * doc_id), never on the join key.
     *
     * `broadcastBoiler = false` drops the forced broadcast for the regime
     * where the boilerplate set itself is huge — a low ABSOLUTE threshold

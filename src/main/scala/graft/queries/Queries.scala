@@ -718,20 +718,21 @@ object Queries {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage")
     val prevConstr = s.conf.get("spark.sql.constraintPropagation.enabled")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     val results =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "1")
         s.conf.set("spark.sql.codegen.wholeStage", "false")
         s.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
         // shuffle.partitions=1: a 30-row loop wants exactly one task per
-        // shuffle stage, statically. AQE's coalescing reaches the same
-        // 1-task stages from parts=4, but pays per-stage planning jobs to
-        // get there — E2EProbe's interleaved A/B (SPARK_GRAFT_E2E_AB=1,
-        // 4 reps, min/median): parts=1+AQE 8.7/12.9 s vs parts=4+AQE
-        // 16.5/29.0 s on a host with ~150 ms/job dispatch latency; the
-        // same ordering (smaller margin) held on the earlier fast host.
-        // AQE stays ON — it still prunes the empty side of the tagged
-        // union and costs nothing at 1 partition.
+        // shuffle stage, statically. AQE OFF: with the round folded into
+        // ONE action (results ∪ frontier ∪ newSeen tagged-union checkpoint,
+        // r5), AQE's per-exchange stage-materialization jobs are the
+        // dominant remaining driver cost on a high-dispatch-latency host —
+        // E2EProbe interleaved A/B (4 reps, min/median): parts=1+AQE
+        // 9.7/9.9 s vs parts=1 no-AQE 7.3/7.3 s, parts=4 no-AQE 7.1/7.5 s.
+        // parts=1 no-AQE is chosen for the best median (most stable).
         CrawlJob.runInMemory(s, g.seeds, pages, robots, redirects,
           CrawlConfig(maxDepth = 3, hostQuotaPerRound = 4, maxRounds = 12,
             useBloomSeen = false))
@@ -739,6 +740,7 @@ object Queries {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
         s.conf.set("spark.sql.constraintPropagation.enabled", prevConstr)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     // driver-output rule: every column SCALAR — the driver harness
     // canonicalizes with a pandas sort that cannot hash array/map/binary
@@ -830,6 +832,24 @@ object Queries {
       .orderBy(col("url"), col("uri"), col("source_tag"))
   }
 
+  /** DuckDB oracle for [[extractLinks]]: the pinned deterministic output
+    * ([[ExtractLinksPin]], regenerated via graft.GenPin) as a VALUES table.
+    * Same self-evidence shape as [[canonCorpusSql]] — the Spark side runs
+    * the REAL extraction over the seeded Synth graph, so any drift in the
+    * HTML attr walk / scope dispatch / protocol / source-tag kernels
+    * hash-mismatches against this pin. */
+  val extractLinksSql: String = {
+    def q(v: String): String =
+      if (v == null) "CAST(NULL AS VARCHAR)" else "'" + v.replace("'", "''") + "'"
+    val values = ExtractLinksPin.rows.map { case (url, uri, scope, proto, tag) =>
+      Seq(q(url), q(uri), q(scope), q(proto), q(tag)).mkString("(", ", ", ")")
+    }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$values
+       |) AS t(url, uri, scope, protocol, source_tag)
+       |ORDER BY url, uri, source_tag""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -898,6 +918,7 @@ object Queries {
     "q_lang_id" -> langIdSql,
     "q_fingerprint" -> fingerprintSql,
     "q_canon_corpus" -> canonCorpusSql,
+    "q_extract_links" -> extractLinksSql,
     "q_line_dedup" -> lineDedupSql,
     "q_hash_split" -> hashSplitSql,
     "q_pii_scrub" -> piiScrubSql)

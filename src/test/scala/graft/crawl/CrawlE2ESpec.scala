@@ -325,48 +325,127 @@ class CrawlE2ESpec extends AnyFunSuite {
     val job = CrawlJob.run(spark, seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
     val io = new graft.io.TableIO(spark, dir)
     var hopsSeen = 0L
+    var linksSeen = 0L
+    var scopedOutSeen = 0L
+    var fullSchemaSeen = false
     (0 until job.rounds).foreach { r =>
       val pq = spark.read.parquet(s"$dir/results/round=$r")
       if (pq.count() > 0) {
         val js = io.readResultsJsonl(r)
         assert(js.count() == pq.count(), s"round $r row count")
+        import org.apache.spark.sql.functions.{col => c, coalesce, explode, lit}
+        // PageResponse field-name parity 1:1 (page_response.rs:10-21) —
+        // spark.read.json drops keys that were null on EVERY line of a
+        // round, so every inferred field must be a PageResponse field, and
+        // at least one round (one with fetched+downloaded rows) must carry
+        // them all
+        val pageResponseFields = Set("original_requested_url",
+          "original_requested_url_raw", "final_url_after_redirects", "head",
+          "get", "links", "crawl_status", "response_timings", "task_uuid")
+        assert(js.schema.fieldNames.toSet.subsetOf(pageResponseFields),
+          s"round $r non-PageResponse fields: ${js.schema.fieldNames.toSet -- pageResponseFields}")
+        if (js.schema.fieldNames.toSet == pageResponseFields) fullSchemaSeen = true
+        // row parity vs parquet: url + crawl_status + the head status code
+        // (head is null ⇔ no HTTP exchange ⇔ parquet http_code = -1)
+        val hasHead = js.schema.fieldNames.contains("head")
         val pqSet = pq.select("url", "crawl_status", "http_code").collect()
           .map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
-        val jsSet = js.select("url", "crawl_status", "http_code").collect()
-          .map(x => (x.getString(0), x.getString(1), x.getLong(2).toInt)).toSet
+        val jsSet = (if (hasHead)
+            js.select(c("original_requested_url"), c("crawl_status"),
+              coalesce(c("head.http_response_code.code"), lit(-1L)))
+          else js.select(c("original_requested_url"), c("crawl_status"), lit(-1L)))
+          .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2).toInt)).toSet
         assert(jsSet == pqSet, s"round $r rows")
+        // task_uuid rides every line and equals the parquet run_id
+        val runIds = pq.select("run_id").distinct().collect().map(_.getString(0))
+        assert(runIds.length == 1 && runIds(0) != null)
+        js.select("task_uuid").collect().foreach(x =>
+          assert(x.getString(0) == runIds(0), s"round $r task_uuid"))
         // PageResponse-parity timings ride every exported line
         // (response_timings.rs:5-10: {start_time, end_time, name})
-        js.select("url", "response_timings.name", "response_timings.start_time",
-            "response_timings.end_time").collect().foreach { x =>
+        js.select("original_requested_url", "response_timings.name",
+            "response_timings.start_time", "response_timings.end_time")
+          .collect().foreach { x =>
           assert(x.getString(1) == s"PageResponse.${x.getString(0)}")
           assert(x.getString(2).endsWith(" UTC") && x.getString(3).endsWith(" UTC"))
         }
-        // hop-level Redirect serialization parity: headers map + per-hop
-        // response_timings named "Redirect.{source}". A round with no hops
-        // at all infers `redirects` as STRING (all-null) or array<string>
-        // (all-empty) — only a round holding a real hop infers the struct.
-        import org.apache.spark.sql.functions.{col => c, explode}
-        val hasHopStructs =
-          js.schema.fields.find(_.name == "redirects").map(_.dataType) match {
-            case Some(org.apache.spark.sql.types.ArrayType(
-              _: org.apache.spark.sql.types.StructType, _)) => true
-            case _ => false // absent (all-null, to_json drops null fields) or degenerate
+        // head/get nesting (head_response.rs:9-17, get_response.rs:9-16):
+        // names + StatusCode {code,label} + own response_timings; get rides
+        // only downloaded rows and carries the extracted text as body
+        if (hasHead) {
+          js.filter(c("head").isNotNull)
+            .select("original_requested_url", "head.requested_url",
+              "head.http_response_code.label", "head.response_timings.name")
+            .collect().foreach { x =>
+            assert(x.getString(1) == x.getString(0))
+            assert(x.getString(2) != null)
+            assert(x.getString(3) == s"HEADResponse.${x.getString(0)}")
           }
-        if (hasHopStructs) {
-          val hops = js.filter(c("n_redirects") > 0)
-            .select(explode(c("redirects")).as("h"))
-            .select("h.source", "h.headers.location", "h.response_timings.name")
-            .collect()
-          hops.foreach { x =>
-            assert(x.getString(2) == s"Redirect.${x.getString(0)}")
-            assert(x.getString(1) != null, "hop headers must carry location")
+          // hop-level Redirect parity: StatusCode struct + headers.location
+          // + per-hop response_timings named "Redirect.{source}"
+          // (fetch_header_command.rs:73-81). Struct inference needs a round
+          // holding a real hop (an all-empty array infers degenerate).
+          val hopType = js.select(c("head.redirects")).schema.fields.head.dataType
+          val hasHopStructs = hopType match {
+            case org.apache.spark.sql.types.ArrayType(
+              _: org.apache.spark.sql.types.StructType, _) => true
+            case _ => false
           }
-          hopsSeen += hops.length
+          if (hasHopStructs) {
+            val hops = js.filter(c("head").isNotNull)
+              .select(explode(c("head.redirects")).as("h"))
+              .select("h.source", "h.headers.location",
+                "h.response_timings.name", "h.http_response_code.code")
+              .collect()
+            hops.foreach { x =>
+              assert(x.getString(2) == s"Redirect.${x.getString(0)}")
+              assert(x.getString(1) != null, "hop headers must carry location")
+              assert(x.getLong(3) >= 300 && x.getLong(3) < 400)
+            }
+            hopsSeen += hops.length
+          }
+        }
+        if (js.schema.fieldNames.contains("get")) {
+          val gets = js.filter(c("get").isNotNull)
+            .select("final_url_after_redirects", "get.requested_url",
+              "get.body", "get.response_timings.name").collect()
+          gets.foreach { x =>
+            assert(x.getString(1) == x.getString(0))
+            assert(x.getString(3) == s"GETResponse.${x.getString(0)}")
+          }
+          // parquet cross-check: get exists iff a body was parsed
+          assert(gets.length ==
+            pq.filter(c("n_links") >= 0).count(), s"round $r get presence")
+        }
+        // links inventory (link.rs:7-13): full pre-dedup list, so its length
+        // is exactly n_links; scoped-out classes (External/Mailto/anchor…)
+        // appear here and nowhere downstream
+        if (js.schema.fieldNames.contains("links") &&
+            js.select(c("links")).schema.fields.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+          val pqLinks = pq.filter(c("n_links") >= 0).select("url", "n_links")
+            .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+          js.filter(c("links").isNotNull)
+            .select(c("original_requested_url"),
+              org.apache.spark.sql.functions.size(c("links")))
+            .collect().foreach { x =>
+            assert(pqLinks(x.getString(0)) == x.getInt(1),
+              s"round $r links length vs n_links for ${x.getString(0)}")
+            linksSeen += x.getInt(1)
+          }
+          scopedOutSeen += js.filter(c("links").isNotNull)
+            .select(explode(c("links")).as("l"))
+            .filter(c("l.scope").isNull ||
+              !c("l.scope").isin("Root", "SameDomain", "DifferentSubDomain"))
+            .count()
         }
       }
     }
     assert(hopsSeen > 0, "fixture must export at least one redirect hop")
+    assert(linksSeen > 0, "fixture must export at least one link inventory")
+    assert(scopedOutSeen > 0,
+      "link inventory must include scoped-out classes absent from the frontier")
+    assert(fullSchemaSeen, "at least one round must carry every PageResponse field")
   }
 
   test("maxDepth=0 quirk: unlimited crawlability but only seeds enqueue children") {
