@@ -238,7 +238,18 @@ object SeenFilter {
     * own few bucket filters. */
   def bloomAntiJoin(candidates: DataFrame, seen: DataFrame,
       blooms: Broadcast[BloomProbe]): DataFrame = {
-    val probe = udf((bucket: Long, h: Long) => blooms.value.mightContain(bucket.toInt, h))
+    val probeDet = udf((bucket: Long, h: Long) => blooms.value.mightContain(bucket.toInt, h))
+    // File-backed probes MUST evaluate above the bucket exchange: a
+    // deterministic filter gets pushed below the repartition onto the raw
+    // scan partitions, where every task probes arbitrary buckets (unbounded
+    // filter-file churn through the per-executor cache — exactly what the
+    // co-partitioning exists to prevent). The probe IS pure; nondeterminism
+    // here is the standard optimizer fence. Bonus: both union branches then
+    // share one identical scan+Exchange subtree, which ReuseExchange dedups
+    // — without the fence each branch rescans the input. The in-memory
+    // probe keeps determinism so the cheap map-probe CAN push into the scan.
+    val probe = if (blooms.value.wantsBucketPartitioning)
+      probeDet.asNondeterministic() else probeDet
     val cand =
       if (blooms.value.wantsBucketPartitioning)
         candidates.repartition(bucketOf(col("url"), blooms.value.buckets))
