@@ -161,7 +161,14 @@ object Bench {
   private def awaitExecutors(spark: SparkSession, expected: Int, timeoutMs: Long): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (System.nanoTime() < deadline) {
-      if (spark.sparkContext.getExecutorMemoryStatus.size >= expected + 1) return true
+      // a fleet whose executor processes fail to LAUNCH (e.g. no SPARK_HOME
+      // for the worker's launcher) kills the whole app after 10 failures and
+      // the context stops asynchronously — report that as not-scheduled so
+      // the caller's FleetNotScheduled retry handles it, instead of an
+      // IllegalStateException escaping the pair protocol
+      try {
+        if (spark.sparkContext.getExecutorMemoryStatus.size >= expected + 1) return true
+      } catch { case _: IllegalStateException => return false }
       Thread.sleep(250)
     }
     false
@@ -192,9 +199,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      if (!awaitExecutors(spark, executors, timeoutMs = 90000))
+      if (!awaitExecutors(spark, executors, timeoutMs = 90000)) {
+        val got = try spark.sparkContext.getExecutorMemoryStatus.size - 1
+          catch { case _: IllegalStateException => -1 } // context already stopped
         throw new FleetNotScheduled(
-          s"only ${spark.sparkContext.getExecutorMemoryStatus.size - 1}/$executors executors registered in 90s")
+          s"only $got/$executors executors registered in 90s")
+      }
       f(spark)
     } finally spark.stop()
   }
@@ -206,7 +216,7 @@ object Bench {
     * mode the registration gate cannot see. The calibration is pure fixed
     * work, so a starved fleet shows up as a several-fold slower run; the
     * pair protocol discards-and-retries when the 4N leg's calibration is
-    * >1.5× its paired N's (counter published as `supply_retries`). */
+    * >1.35× its paired N's (counter published as `supply_retries`). */
   def calibrate(s: SparkSession): Double = {
     val t0 = System.nanoTime()
     val acc = s.sparkContext.parallelize(Seq(0L), 1).map { _ =>
@@ -390,6 +400,32 @@ object Bench {
       // trial ran on a fully-registered fleet (0 = first try every time).
       var fleetRetries = 0
       var supplyRetries = 0
+      var fleetDrains = 0
+      // a stopped SparkSession returns before its forked worker/executor
+      // JVMs have fully exited; on a high-dispatch-latency host they linger
+      // for seconds, stealing CPU from (and occasionally blocking the
+      // scheduling of — the `Master: App … requires more resource` WARN) the
+      // NEXT fleet's early rounds. Wait for the processes themselves.
+      def drainFleetJvms(maxWaitMs: Long = 45000): Unit = {
+        def lingering(): Boolean = {
+          val it = ProcessHandle.allProcesses().iterator()
+          var found = false
+          while (!found && it.hasNext) {
+            val cl = it.next().info().commandLine()
+            if (cl.isPresent) {
+              val c = cl.get
+              found = c.contains("CoarseGrainedExecutorBackend") ||
+                c.contains("deploy.worker.Worker")
+            }
+          }
+          found
+        }
+        val deadline = System.nanoTime() + maxWaitMs * 1000000L
+        if (lingering()) {
+          fleetDrains += 1
+          while (lingering() && System.nanoTime() < deadline) Thread.sleep(500)
+        }
+      }
       // (calibration sec, measured trial): the calibration runs INSIDE the
       // same session, after warm-up and before the measured rounds
       def execTrial(execs: Int): (Double, (Long, Double)) = {
@@ -397,9 +433,14 @@ object Bench {
         var res: Option[(Double, (Long, Double))] = None
         while (res.isEmpty) {
           attempt += 1
+          drainFleetJvms() // previous fleet fully exited before this one starts
           try {
             res = Some(withExecutorSession(execs, coresPerExec, jar.get) { s =>
-              scheduleDedupRound(s, benchDir, quota, limitN = warmRows(execs * coresPerExec))
+              // full-size warm round: fresh fleet JVMs are still C2-compiling
+              // through small warm-ups on this host (BENCH round rates rising
+              // 182k→233k→371k ACROSS the measured rounds) — one untimed
+              // full round makes every measured round post-JIT
+              scheduleDedupRound(s, benchDir, quota)
               calibrate(s) // untimed JIT pass for the calibration loop itself
               val cal = calibrate(s)
               (cal, bestOfK(s, s"e$execs"))
@@ -411,11 +452,12 @@ object Bench {
               Thread.sleep(10000)
           }
         }
-        Thread.sleep(3000) // let worker/executor JVMs fully exit before the next fleet
         res.get
       }
       // a pair whose 4N fleet measures a starved CPU supply (calibration
-      // >1.5× its paired N's fixed single-core loop) is discarded and
+      // >1.35× its paired N's fixed single-core loop — BENCH r5 builder run
+      // recorded a 0.70 pair whose starved 4N calibrated at 1.46×, under the
+      // old 1.5 threshold) is discarded and
       // re-run whole — a starved-but-registered fleet can never become the
       // recorded median (r4 verdict #2). Three attempts, then the pair is
       // recorded anyway WITH its calibration evidence (cal_pairs).
@@ -425,9 +467,9 @@ object Bench {
           attempt += 1
           val (calN, rN) = execTrial(nExec)
           val (cal4N, r4N) = execTrial(nExec * 4)
-          if (cal4N <= calN * 1.5 || attempt >= 3) return ((rN, r4N), (calN, cal4N))
+          if (cal4N <= calN * 1.35 || attempt >= 3) return ((rN, r4N), (calN, cal4N))
           supplyRetries += 1
-          System.err.println(f"[bench] 4N calibration $cal4N%.2fs > 1.5× paired N's $calN%.2fs: starved fleet, discarding pair and retrying (attempt $attempt)")
+          System.err.println(f"[bench] 4N calibration $cal4N%.2fs > 1.35× paired N's $calN%.2fs: starved fleet, discarding pair and retrying (attempt $attempt)")
           Thread.sleep(10000)
         }
         throw new IllegalStateException("unreachable")
@@ -441,7 +483,7 @@ object Bench {
           f"""[$rN%.0f,$r4N%.0f]""" }.mkString("[", ",", "]")
         val eCals = ePairsCal.map { case (_, (cN, c4)) =>
           f"""[$cN%.3f,$c4%.3f]""" }.mkString("[", ",", "]")
-        f""","scaling_exec":{"mode":"executors","executors_n":$nExec,"cores_per_executor":$coresPerExec,"rate_n":$erN%.1f,"executors_4n":${nExec * 4},"rate_4n":$er4N%.1f,"efficiency":${(er4N / erN) / 4.0}%.3f,"fleet_retries":$fleetRetries,"supply_retries":$supplyRetries,"cal_pairs":$eCals,"pair_rates":$eRates}"""
+        f""","scaling_exec":{"mode":"executors","executors_n":$nExec,"cores_per_executor":$coresPerExec,"rate_n":$erN%.1f,"executors_4n":${nExec * 4},"rate_4n":$er4N%.1f,"efficiency":${(er4N / erN) / 4.0}%.3f,"fleet_retries":$fleetRetries,"supply_retries":$supplyRetries,"fleet_drains":$fleetDrains,"cal_pairs":$eCals,"pair_rates":$eRates}"""
       } catch {
         case e: FleetNotScheduled =>
           // three straight scheduling failures: report the fact instead of
