@@ -85,6 +85,11 @@ object CrawlJob {
     // from it (filters are rebuilt wider when the load crosses capacity)
     var seenTotal = 0L
     var bloomCap = cfg.bloomExpectedPerBucket
+    // frontier cuckoo state (opt-in): like the blooms, the driver tracks
+    // only the latest committed filter DIRECTORY — the per-bucket files are
+    // written and delta-updated executor-side ([[FrontierFilter]])
+    var cuckooDir: Option[String] = None
+    var cuckooCap = cfg.cuckooExpectedPerBucket
 
     val last = if (resume) io.lastCommittedRound() else -1
     if (last >= 0) {
@@ -107,6 +112,11 @@ object CrawlJob {
           bloomDir = Some(io.bloomsDir(last))
         }
       }
+      // missing cuckoo files are only an accelerator gap: the first resumed
+      // round runs the exact join, then the round-end write rebuilds them
+      // from the full frontier (the cuckooDir.isEmpty branch below)
+      if (cfg.useCuckooFrontier)
+        cuckooDir = Some(io.cuckooDir(last)).filter(_ => io.hasCuckoo(last))
     } else {
       frontier = seedFrontier(spark, seeds)
       seen = emptySeen(spark)
@@ -129,7 +139,11 @@ object CrawlJob {
         if (frontierCount > cfg.megaHostThreshold)
           Some(FrontierRound.findMegaHostsDf(frontier, cfg.megaHostThreshold))
         else None
-      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts)
+      // frontier-membership probe (opt-in): same constant-size broadcast
+      // shape as the blooms — a directory path + bucket count
+      val cuckoo = cuckooDir.filter(_ => cfg.useCuckooFrontier).map(d =>
+        FrontierFilter.broadcastFileCuckoos(spark, cfg.seenBuckets, d))
+      val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts, cuckoo)
 
       // persist first, commit manifest last (atomic) — exact-resume contract
       val stamped = FrontierRound.stampTimings(out.results, round, cfg)
@@ -174,7 +188,29 @@ object CrawlJob {
         }
         bloomDir = Some(dir)
       }
+      if (cfg.useCuckooFrontier) {
+        val cap = SeenFilter.sizedFor(cfg.cuckooExpectedPerBucket,
+          frontierCount / math.max(cfg.seenBuckets, 1))
+        val dir = io.cuckooDir(round)
+        if (cuckooDir.isEmpty || cap > cuckooCap) {
+          // fresh init / resume repair / the frontier outgrew capacity:
+          // build all filters from the full frontier table (distributed,
+          // no driver bytes; amortized by capacity doubling). `frontier`
+          // is already the re-read post-round table, exactly the set the
+          // delta path would have maintained.
+          cuckooCap = math.max(cuckooCap, cap)
+          FrontierFilter.writeFromUrls(frontier.select("url"), cfg.seenBuckets,
+            cuckooCap, dir)
+        } else {
+          // incremental: O(|delta|), never a frontier scan — insert this
+          // round's enqueued urls, delete its scheduled ones
+          FrontierFilter.writeDeltas(out.entered, out.departed,
+            cfg.seenBuckets, cuckooCap, cuckooDir.get, dir)
+        }
+        cuckooDir = Some(dir)
+      }
       blooms.foreach(_.unpersist(false))
+      cuckoo.foreach(_.unpersist(false))
 
       val results = spark.read.parquet(s"$stateDir/results/round=$round")
       val agg = results.agg(
@@ -214,6 +250,7 @@ object CrawlJob {
         // on the same cadence so their dir listings stay bounded too
         io.gcRoundDirsBelow("frontier", round)
         io.gcRoundDirsBelow("blooms", round)
+        io.gcRoundDirsBelow("cuckoo", round)
         io.gcManifestsBelow(round)
       }
 
@@ -384,7 +421,8 @@ object CrawlJob {
 
   def main(args: Array[String]): Unit = {
     // spark-submit entry: CrawlJob <pagesDir> <robotsDir> <redirectsDir>
-    //   <stateDir> <seedUrl>[,<seedUrl>...] [maxDepth] [hostQuota] [--resume]
+    //   <stateDir> <seedUrl>[,<seedUrl>...] [maxDepth] [hostQuota]
+    //   [--resume] [--cuckoo]
     val spark = SparkSession.builder()
       .appName("graft-crawl")
       // spark-submit injects the real master; default for local sbt runs
@@ -396,10 +434,12 @@ object CrawlJob {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val Array(pagesDir, robotsDir, redirectsDir, stateDir, seedList, restArgs @ _*) = args
+    val Array(pagesDir, robotsDir, redirectsDir, stateDir, seedList, rest @ _*) = args
+    val restArgs = rest.filterNot(_.startsWith("--"))
     val cfg = CrawlConfig(
       maxDepth = restArgs.headOption.map(_.toInt).getOrElse(16),
-      hostQuotaPerRound = restArgs.drop(1).headOption.map(_.toInt).getOrElse(4))
+      hostQuotaPerRound = restArgs.drop(1).headOption.map(_.toInt).getOrElse(4),
+      useCuckooFrontier = args.contains("--cuckoo"))
     val res = run(spark,
       seedList.split(",").toSeq,
       spark.read.parquet(pagesDir),

@@ -239,6 +239,9 @@ object FrontierRound {
                               // fetch_start/end_ms — see [[stampTimings]]
       newSeen: DataFrame,     // (url)
       newFrontier: DataFrame, // FrontierEntry schema (frontier for next round)
+      departed: DataFrame,    // (url) — left the frontier this round (the
+                              // scheduled slice; cuckoo DELETES, CrawlJob)
+      entered: DataFrame,     // (url) — enqueued this round (cuckoo INSERTS)
       cached: Seq[DataFrame]) // round-scoped persisted intermediates
   {
     /** Release the round's persisted intermediates once outputs are written. */
@@ -386,7 +389,8 @@ object FrontierRound {
       resolvedRedirects: DataFrame,
       cfg: CrawlConfig,
       seenBlooms: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.BloomProbe]] = None,
-      megaHosts: Option[DataFrame] = None): RoundOutput = {
+      megaHosts: Option[DataFrame] = None,
+      frontierProbe: Option[org.apache.spark.broadcast.Broadcast[SeenFilter.BloomProbe]] = None): RoundOutput = {
 
     // bloom-accelerated exact anti-join vs the seen set (when blooms cover
     // exactly `seen`): definitely-new urls skip the join; bloom-positives
@@ -575,14 +579,23 @@ object FrontierRound {
     // (page_loader_service.rs:157). The blooms cover `seen` (through the
     // previous round); this round's newSeen + the deferred queue are small
     // and take the exact anti-join directly.
-    val newEntries = antiSeen(kidsDeduped)
+    val notSeen = antiSeen(kidsDeduped)
       .join(newSeen.select("url"), Seq("url"), "left_anti")
-      .join(deferred.select("url"), Seq("url"), "left_anti")
-      .select("url", "raw_url", "host", "protocol", "depth", "priority")
+    // the still-queued check: exact by default; with a frontier cuckoo probe
+    // ([[FrontierFilter]], persistent loop) filter-rejected kids skip the
+    // join against the (10^10-row at design point) frontier entirely — the
+    // probe covers the frontier at round start ⊇ deferred, so rejections
+    // are sound
+    val newEntries = (frontierProbe match {
+      case Some(p) => SeenFilter.bloomAntiJoin(notSeen, deferred.select("url"), p)
+      case None => notSeen.join(deferred.select("url"), Seq("url"), "left_anti")
+    }).select("url", "raw_url", "host", "protocol", "depth", "priority")
 
     val newFrontier = deferred.select("url", "raw_url", "host", "protocol", "depth", "priority")
       .unionByName(newEntries)
 
-    RoundOutput(results, newSeen, newFrontier, schedCached ++ Seq(headed, fetched))
+    RoundOutput(results, newSeen, newFrontier,
+      scheduled0.select("url"), newEntries.select("url"),
+      schedCached ++ Seq(headed, fetched))
   }
 }

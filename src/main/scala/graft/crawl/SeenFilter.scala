@@ -45,8 +45,10 @@ object SeenFilter {
 
   /** Probe view over the per-bucket filters. Implementations must be
     * broadcast-safe; `mightContain` must have NO false negatives w.r.t.
-    * the url set the filters were built over. */
-  sealed trait BloomProbe extends Serializable {
+    * the url set the filters were built over. Implemented here (Bloom,
+    * in-memory and file-backed) and by [[FrontierFilter.FileCuckoos]]
+    * (cuckoo — the deletable frontier-membership variant). */
+  trait BloomProbe extends Serializable {
     def buckets: Int
     def mightContain(bucket: Int, hash: Long): Boolean
     /** File-backed probes want candidates co-partitioned by bucket first so

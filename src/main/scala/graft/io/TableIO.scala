@@ -188,6 +188,22 @@ final class TableIO(spark: SparkSession, root: String) {
     fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.endsWith(".bloom"))
   }
 
+  /** The round's per-bucket frontier cuckoo-filter directory (mirrors the
+    * frontier AFTER the round; one `.cf` file — or `.dead` marker — per
+    * populated bucket, written executor-side by
+    * [[graft.crawl.FrontierFilter]]). */
+  def cuckooDir(round: Int): String = p("cuckoo", s"round=$round")
+
+  /** Does the round have at least one committed cuckoo bucket entry
+    * (filter file or dead marker)? */
+  def hasCuckoo(round: Int): Boolean = {
+    val dir = hp("cuckoo", s"round=$round")
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n.endsWith(".cf") || n.endsWith(".dead")
+    }
+  }
+
   /** Driver-side map write — test/embedded convenience only; the persistent
     * loop writes filters executor-side via
     * [[graft.crawl.SeenFilter.writeMergedBlooms]]. */

@@ -80,6 +80,20 @@ final case class CrawlConfig(
     /** Bloom sizing: expected urls per bucket (3% fpp at this load). At
       * 10^10 urls raise seenBuckets so this stays ≤ ~4M per bucket. */
     bloomExpectedPerBucket: Long = 4096L,
+    /** Accelerate the enqueue-time still-queued anti-join with per-bucket
+      * CUCKOO filters mirroring the frontier (north_rule "Bloom/cuckoo" —
+      * the deletable half: urls leave the frontier when scheduled, which a
+      * Bloom cannot express without a full per-round rebuild). Persistent
+      * loop only; exactness preserved (probe-positives take the exact join;
+      * saturated/missing bucket files probe all-true). See
+      * [[graft.crawl.FrontierFilter]]. */
+    useCuckooFrontier: Boolean = false,
+    /** Cuckoo sizing: expected frontier urls per bucket (the filter is
+      * created with ~19% slot headroom; a bucket loaded past capacity goes
+      * dead = exact-join fallback until the next growth rebuild, which
+      * CrawlJob triggers when the driver-known frontier count crosses the
+      * doubling boundary). */
+    cuckooExpectedPerBucket: Long = 4096L,
     /** Fold the per-round seen slices into one compacted snapshot every K
       * committed rounds (0 = never): bounds the anti-join's scan to
       * compacted + ≤ K tail dirs instead of one dir per round — at
