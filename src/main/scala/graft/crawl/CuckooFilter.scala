@@ -145,8 +145,18 @@ final class CuckooFilter private (
     d.writeInt(Version)
     d.writeInt(numBuckets)
     d.writeLong(rng)
+    // bulk big-endian encode: per-char writeChar on an unbuffered stream is
+    // one syscall-ish hop per SLOT — at a 32k-bucket filter that is 128k
+    // round trips per file, and the delta writer touches every populated
+    // bucket file each round
+    val buf = new Array[Byte](table.length * 2)
     var i = 0
-    while (i < table.length) { d.writeChar(table(i)); i += 1 }
+    while (i < table.length) {
+      buf(2 * i) = (table(i) >>> 8).toByte
+      buf(2 * i + 1) = table(i).toByte
+      i += 1
+    }
+    d.write(buf)
     d.flush()
   }
 
@@ -190,8 +200,13 @@ object CuckooFilter {
     val m = d.readInt()
     val rng = d.readLong()
     val table = new Array[Char](m * SlotsPerBucket)
+    val buf = new Array[Byte](table.length * 2)
+    d.readFully(buf) // bulk decode — see writeTo
     var i = 0
-    while (i < table.length) { table(i) = d.readChar(); i += 1 }
+    while (i < table.length) {
+      table(i) = (((buf(2 * i) & 0xFF) << 8) | (buf(2 * i + 1) & 0xFF)).toChar
+      i += 1
+    }
     new CuckooFilter(m, table, rng)
   }
 }
