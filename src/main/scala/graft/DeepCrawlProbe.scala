@@ -15,7 +15,7 @@ import graft.synth.Synth
   * driver contract — a measurement tool like [[ScaleProbe]]; results are
   * recorded in BASELINE.md.
   *
-  * Usage: DeepCrawlProbe [chainLen] [hosts] [compactEvery]
+  * Usage: DeepCrawlProbe [chainLen] [hosts] [compactEvery] [--cuckoo]
   */
 object DeepCrawlProbe {
 
@@ -32,9 +32,12 @@ object DeepCrawlProbe {
     if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
-    val chainLen = args.headOption.map(_.toInt).getOrElse(200)
-    val hosts = args.drop(1).headOption.map(_.toInt).getOrElse(4)
-    val compactEvery = args.drop(2).headOption.map(_.toInt).getOrElse(64)
+    val flags = args.filter(_.startsWith("--"))
+    val pos = args.filterNot(_.startsWith("--"))
+    val chainLen = pos.headOption.map(_.toInt).getOrElse(200)
+    val hosts = pos.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val compactEvery = pos.drop(2).headOption.map(_.toInt).getOrElse(64)
+    val useCuckoo = flags.contains("--cuckoo")
     // args are operator-supplied: the flatness quartiles need ≥8 rounds and
     // the snapshot/range assertions need at least one completed sweep —
     // fail with the constraint, not a confusing downstream require
@@ -60,7 +63,8 @@ object DeepCrawlProbe {
     val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
     val stateDir = java.nio.file.Files.createTempDirectory("deep-crawl").toString
     val cfg = CrawlConfig(maxDepth = chainLen + 1, hostQuotaPerRound = 4,
-      seenCompactEvery = compactEvery, maxRounds = chainLen + 8)
+      seenCompactEvery = compactEvery, maxRounds = chainLen + 8,
+      useCuckooFrontier = useCuckoo)
     val res = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg, stateDir)
 
     require(res.rounds == chainLen,
@@ -80,10 +84,11 @@ object DeepCrawlProbe {
       "metrics_ranges" -> countEntries(s"$stateDir/metrics_compacted"),
       "frontier_rounds" -> countEntries(s"$stateDir/frontier"),
       "bloom_rounds" -> countEntries(s"$stateDir/blooms"),
+      "cuckoo_rounds" -> countEntries(s"$stateDir/cuckoo"),
       "manifests" -> countEntries(s"$stateDir/manifest"))
     val nSweeps = chainLen / compactEvery
     Seq("seen_rounds", "results_rounds", "metrics_rounds", "frontier_rounds",
-      "bloom_rounds").foreach { k =>
+      "bloom_rounds", "cuckoo_rounds").foreach { k =>
       require(dirs(k) <= compactEvery + 1, s"$k=${dirs(k)} not bounded by cadence $compactEvery")
     }
     require(dirs("seen_snapshots") == 1, s"seen keeps ONE snapshot, got ${dirs("seen_snapshots")}")
