@@ -338,4 +338,50 @@ class KernelPropertySpec extends AnyFunSuite {
         (Prop(depthBounded) :| "depth bound violated")
     }, cases = 80)
   }
+
+  test("property: cuckoo filter has no false negatives, exact occupancy, and deterministic bytes under insert/delete interleavings") {
+    // the FrontierFilter correctness contract ([[graft.crawl.CuckooFilter]]):
+    // under any history where deletes target live inserts (which the
+    // frontier protocol guarantees), (a) every live item probes true,
+    // (b) each successful insert fills exactly one slot and each delete
+    // frees exactly one, (c) the same history replays to identical bytes
+    // (resume determinism), (d) bytes round-trip through serialization.
+    val genCase = for {
+      seed <- Gen.choose(0L, 1000000L)
+      n <- Gen.choose(50, 1500)
+      churn <- Gen.choose(0.0, 0.9)
+    } yield (seed, n, churn)
+    check(Prop.forAllNoShrink(genCase) { case (seed, n, churn) =>
+      def run(): (graft.crawl.CuckooFilter, Set[Long]) = {
+        val rnd = new scala.util.Random(seed)
+        val f = graft.crawl.CuckooFilter.create(n.toLong)
+        var live = Set.empty[Long]
+        var ok = true
+        (0 until n).foreach { _ =>
+          if (live.nonEmpty && rnd.nextDouble() < churn) {
+            val victim = live.iterator.drop(rnd.nextInt(live.size)).next()
+            ok &= f.delete(victim)
+            live -= victim
+          }
+          val h = rnd.nextLong()
+          if (!live.contains(h)) { ok &= f.insert(h); live += h }
+        }
+        assert(ok, "sized inserts/live deletes must all succeed")
+        (f, live)
+      }
+      val (f, live) = run()
+      val (f2, _) = run()
+      val bytes = f.serialized
+      val noFalseNeg = live.forall(f.mightContain)
+      val occupancy = f.occupied == live.size
+      val deterministic = java.util.Arrays.equals(bytes, f2.serialized)
+      val back = graft.crawl.CuckooFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val roundTrip = java.util.Arrays.equals(back.serialized, bytes) &&
+        live.forall(back.mightContain)
+      (Prop(noFalseNeg) :| "false negative on a live item") &&
+        (Prop(occupancy) :| "occupancy drifted from the live count") &&
+        (Prop(deterministic) :| "same history gave different bytes") &&
+        (Prop(roundTrip) :| "serialization round-trip changed the filter")
+    }, cases = 120)
+  }
 }

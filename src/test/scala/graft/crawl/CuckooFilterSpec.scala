@@ -151,8 +151,10 @@ class CuckooFilterSpec extends AnyFunSuite {
       val dir = java.nio.file.Files.createTempDirectory(s"crawl-ck-$cuckoo").toString
       val cfg = CrawlConfig(maxDepth = 4, hostQuotaPerRound = 3, runId = "t",
         useCuckooFrontier = cuckoo,
-        // tiny per-bucket capacity on the ON side so the growth-rebuild
-        // branch AND the delta branch both execute on a fixture-sized run
+        // tiny per-bucket capacity on the ON side so saturation/dead-bucket
+        // handling runs INSIDE the loop (the init full build and the
+        // per-round delta branch both execute here; the capacity-growth
+        // rebuild is pinned by its own test below)
         cuckooExpectedPerBucket = if (cuckoo) 2L else 4096L)
       val job = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
       val rows = job.results
@@ -171,6 +173,24 @@ class CuckooFilterSpec extends AnyFunSuite {
     // the accelerator actually ran: filter state exists for the last rounds
     val io = new graft.io.TableIO(spark, dirOn)
     assert((0 until nOn).exists(io.hasCuckoo), "no cuckoo state written")
+  }
+
+  test("capacity-growth rebuild triggers mid-crawl and keeps row identity") {
+    val g = Synth.graph(seed = 77L, hosts = 3, pagesPerHost = 16)
+    val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
+    def runWith(cuckoo: Boolean) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ck-grow-$cuckoo").toString
+      // ONE bucket + capacity 1: cap = sizedFor(1, frontierCount) crosses a
+      // doubling boundary as soon as the frontier widens past the seeds, so
+      // the cap > cuckooCap rebuild branch runs mid-crawl (and again as the
+      // frontier keeps growing)
+      val cfg = CrawlConfig(maxDepth = 5, hostQuotaPerRound = 2, runId = "t",
+        seenBuckets = 1, useCuckooFrontier = cuckoo, cuckooExpectedPerBucket = 1L)
+      val job = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
+      job.results.select("round", "url", "http_code", "crawl_status", "depth")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(runWith(true) == runWith(false))
   }
 
   test("resume repairs missing cuckoo files from the frontier and stays exact") {
