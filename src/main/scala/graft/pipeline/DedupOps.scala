@@ -26,10 +26,13 @@ object DedupOps {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct whitespace tokens per doc, exploded: (doc_id, tok). */
+  /** Distinct whitespace tokens per doc, exploded: (doc_id, tok). The
+    * explode fans each row out ~|tokens| ways, so the input is spread to
+    * cluster parallelism first (no-op at scale — [[graft.util.Spread]]). */
   def docTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    graft.util.Spread.upTo(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
 
   /** MinHash signature over the distinct-token set: k portable "hash
     * permutations", permutation i = md5("i:" ++ token); the signature
@@ -45,18 +48,25 @@ object DedupOps {
     * histogram. Docs sharing (band, band_sig) are near-dup candidates; the
     * bucket-join (self-join on the band signature) is how candidates pair up
     * at scale without the O(n²) cross join. */
-  def minhashLshBuckets(docs: DataFrame, k: Int, rows: Int): DataFrame = {
-    val sig = minhash(docs, k)
+  /** (doc_id, band, band_sig) in ONE pass over the signature table:
+    * posexplode of the per-band signature array — the nBands-way union of
+    * full signature scans this replaces re-read (and re-shuffled) the
+    * signature aggregation once per band. `pos` is exactly the band index
+    * (same 0-based order, same int type as the old `lit(b)`). */
+  private def bandsOf(sig: DataFrame, k: Int, rows: Int): DataFrame = {
     val nBands = k / rows
-    val bands = (0 until nBands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("|", cols: _*).as("band_sig"))
-    }.reduce(_ unionByName _)
-    bands.groupBy(col("band"), col("band_sig"))
+    val bandSigs = (0 until nBands).map { b =>
+      concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
+  }
+
+  def minhashLshBuckets(docs: DataFrame, k: Int, rows: Int): DataFrame =
+    bandsOf(minhash(docs, k), k, rows)
+      .groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
-  }
 
   /** Candidate near-dup pairs from LSH buckets, verified with the exact
     * token-set Jaccard, keeping pairs ≥ threshold. This is the full
@@ -64,12 +74,18 @@ object DedupOps {
     * touches candidate pairs, never the cross product. */
   def minhashNearDups(docs: DataFrame, k: Int, rows: Int, threshold: Double,
       maxBucketSize: Int = 1 << 20): DataFrame = {
-    val sig = minhash(docs, k).cache()
-    val nBands = k / rows
-    val bands0 = (0 until nBands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), concat_ws("|", cols: _*).as("band_sig"))
-    }.reduce(_ unionByName _)
+    // Eager localCheckpoint, NOT .cache() (the r5 version leaked both
+    // persists in the CacheManager for the session's lifetime — keyed on the
+    // canonical plan, those entries survive even after the result is
+    // dropped): the signature table feeds FOUR subtrees (self-join x/y,
+    // the oversized-bucket count, and transitively the band explode), and
+    // its min-over-md5-hex aggregation is a SortAggregate tower over the
+    // full token explode — without materialization the plan pays it four
+    // times (measured 11 s → 190 s at sf0.1). A localCheckpoint runs the
+    // tower exactly once, truncates the plan to an RDD leaf, and the
+    // ContextCleaner releases the partitions when the result is dropped.
+    val sig = minhash(docs, k).localCheckpoint(true)
+    val bands0 = bandsOf(sig, k, rows)
     // Skew ceiling: a degenerate band signature (empty/boilerplate docs)
     // turns the bucket self-join quadratic — count(bucket)² pairs. Buckets
     // over maxBucketSize are dropped BEFORE the join (their members are
@@ -85,8 +101,9 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // same reasoning: the token-set table feeds both verify-join sides
     val toks = docTokens(docs).groupBy("doc_id")
-      .agg(collect_set(col("tok")).as("toks")).cache()
+      .agg(collect_set(col("tok")).as("toks")).localCheckpoint(true)
     cand.join(toks.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
       .join(toks.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
@@ -109,12 +126,16 @@ object DedupOps {
     val bitCols = (0 until 64).map { b =>
       val d = b / 4 + 1
       val p = 8 >> (b % 4)
-      // digit value 0..15, then extract bit via floor-div/mod
-      val v = expr(s"instr('0123456789abcdef', substr(md5(tok), $d, 1)) - 1")
+      // digit value 0..15, then extract bit via floor-div/mod; `h` is the
+      // per-token md5 computed ONCE in the projection below — 64 aggregate
+      // expressions referencing one shared digest column instead of each
+      // embedding its own md5(tok) call
+      val v = expr(s"instr('0123456789abcdef', substr(h, $d, 1)) - 1")
       val bit = (floor(v / p.toDouble).cast("int") % 2)
       sum(bit * 2 - 1).as(s"s$b")
     }
-    val sums = docTokens(docs).groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sums = docTokens(docs).withColumn("h", md5(col("tok")))
+      .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
     val bits = (0 until 64).map(b => when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0")))
     sums.select(col("doc_id"), concat(bits: _*).as("simhash_bits"))
   }
@@ -169,9 +190,14 @@ object DedupOps {
     *   scale/exactness trade; leave 0 where oracle parity is required). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0,
       maxDocFreq: Long = 0L): DataFrame = {
-    val sh0 = docs.select(col("doc_id"), col("source"),
+    // The shingle explode fans every doc out ~|tokens| ways, so its input is
+    // spread to cluster parallelism first (no-op at scale — Spread.upTo);
+    // the generator expression stays INLINE in the Generate (materializing
+    // the array in a projection below the explode doubles the per-row cost).
+    val spreadDocs = graft.util.Spread.upTo(
+      docs.select(col("doc_id"), col("text"), col("source")))
+    val sh0 = spreadDocs.select(col("doc_id"), col("source"),
       explode(docShingles(docs, n)).as("gram"))
-    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val sh =
       if (maxDocFreq <= 0L) sh0
       else {
@@ -181,11 +207,23 @@ object DedupOps {
           .filter(col("count") > maxDocFreq).select(col("source"), col("gram"))
         sh0.join(broadcast(common), Seq("source", "gram"), "left_anti")
       }
-    val inter = sh.as("x").join(sh.as("y"),
+    // SHUFFLE_HASH self-join on (source, gram): the two sides' exchanges are
+    // identical, so ReuseExchange computes the exploded inverted index ONCE
+    // and reads it twice — where the r5 broadcast plan exploded it once per
+    // side and collected one full copy through the driver — and a hash join
+    // needs none of the sort-merge join's two per-partition sorts of the
+    // index. Skewed hot grams stay AQE-splittable, and the build side is a
+    // single (source, gram) hash partition, the standard inverted-index
+    // join shape.
+    val inter = sh.as("x").hint("shuffle_hash").join(sh.as("y"),
         col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
+    // |A| is the LENGTH of the distinct-shingle array — a map-only
+    // projection (the r5 plan re-exploded and re-aggregated the corpus
+    // twice to count it); joined onto the much smaller pair table
+    val sizes = docs.select(col("doc_id"), size(docShingles(docs, n)).as("sz"))
     // filter on the UNROUNDED ratio (round only in the projection): a pair
     // with tiny-but-positive jaccard must survive minJaccard=0 exactly as in
     // the oracle's `intersection > 0` predicate (inter >= 1 by construction,

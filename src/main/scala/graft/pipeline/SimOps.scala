@@ -41,18 +41,46 @@ object SimOps {
     graft.functions.VectorFunctions.fdot(col(s"$q.embedding"), col(s"$c.embedding")) /
       (col(s"$q.nrm") * col(s"$c.nrm"))
 
+  /** Top-k over a (vec_id, neighbor_id, cos) pair table with the canonical
+    * (cos DESC, neighbor_id ASC) tie-break.
+    *
+    * k = 1 (every declared query) avoids the window's full per-partition
+    * SORT of the pair table: `max(struct(cos, -neighbor_id))` picks the
+    * identical winner — struct ordering is (cos, then -id), so highest cos,
+    * ties → smallest neighbor — as ONE hash aggregate with map-side partial
+    * aggregation: the n² pair rows reduce to one row per vec_id per task
+    * BEFORE the exchange, instead of all pairs being sorted. Spark orders
+    * NaN above all doubles and nulls below, in sorts and comparisons alike,
+    * so the aggregate and the window agree on every edge case. */
+  private def topK(pairs: DataFrame, k: Int): DataFrame =
+    if (k == 1)
+      pairs.groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("neighbor_id")).as("nid"))).as("m"))
+        .select(col("vec_id"), lit(1).as("rank"),
+          (-col("m.nid")).as("neighbor_id"))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    }
+
+  /** Spread a small-on-disk side of a quadratic pair join over the cluster:
+    * a tiny parquet scan arrives as ONE split, and a broadcast join keyed on
+    * it then runs the whole O(n²) pair loop in ONE task. No-op once the
+    * input already has ≥ cluster-parallelism partitions — see
+    * [[graft.util.Spread]]. */
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread.upTo(df)
+
   /** Exact brute-force cosine top-k neighbors per vector (excluding self).
     * Output (vec_id, rank, neighbor_id). Ties broken by neighbor id. */
   def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val e = withNorm(embeddings)
-    val pairs = e.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+    val pairs = spread(e).as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "neighbor_id")
+    topK(pairs, k)
   }
 
   /** Deterministic hyperplane component for (plane, dim) — in [-1, 1].
@@ -108,15 +136,11 @@ object SimOps {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     val cand = b.join(broadcast(oversizedKeys(b, "bucket", maxBucketSize)),
       Seq("bucket"), "left_anti")
-    val pairs = b.as("q").join(cand.as("c"),
+    val pairs = spread(b).as("q").join(cand.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "neighbor_id")
+    topK(pairs, k)
   }
 
   // ---------------- IVF (inverted-file) ANN ----------------
@@ -188,15 +212,11 @@ object SimOps {
       p => (-p.getField("nc")).cast("int"))
     val qside = assigned.drop("cell")
       .withColumn("cell", explode(probeCells))
-    val pairs = qside.as("q").join(cand.as("c"),
+    val pairs = qside.as("q").join(spread(cand).as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "neighbor_id")
+    topK(pairs, k)
   }
 
   /** Multi-probe LSH top-k: like [[lshTopK]], but each QUERY also probes
@@ -218,17 +238,13 @@ object SimOps {
     val probeBuckets = array(
       col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
-    val qside = home.select(col("vec_id"), col("embedding"), col("nrm"),
+    val qside = spread(home).select(col("vec_id"), col("embedding"), col("nrm"),
       explode(probeBuckets).as("bucket"))
     val pairs = qside.as("q").join(cand.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         pairCos("q", "c").as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "neighbor_id")
+    topK(pairs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: (a, b) with cosine ≥ threshold,
@@ -243,7 +259,7 @@ object SimOps {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     val cand = b.join(broadcast(oversizedKeys(b, "bucket", maxBucketSize)),
       Seq("bucket"), "left_anti")
-    b.as("x").join(cand.as("y"),
+    spread(b).as("x").join(cand.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         pairCos("x", "y").as("cos"))
