@@ -72,6 +72,9 @@ object BenchExtra {
       val total = results.collect { case (n, ts) if Bench.headline.contains(n) && ts.nonEmpty => ts.min }.sum
       System.err.println(f"BENCHX_TOTAL headline_best_sum=$total%.3f")
     }
+    if (sys.env.contains("SPARK_GRAFT_RULE_TIMING"))
+      System.err.println(
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     spark.stop()
   }
 }

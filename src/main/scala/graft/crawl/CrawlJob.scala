@@ -302,16 +302,26 @@ object CrawlJob {
       redirects: DataFrame,
       cfg: CrawlConfig): DataFrame = {
     import spark.implicits._
+    val dbgT = sys.env.contains("SPARK_GRAFT_DEBUG_TIMING")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbgT) {
+      System.err.println(f"E2ESETUP $tag=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
     // localCheckpoint (not cache): collapse the static plans to LogicalRDD
     // leaves so the per-round Catalyst work doesn't grow with maxRedirects,
     // and embedded LocalRelation fixtures don't ride inside every plan
     // (resolveRedirects checkpoints internally)
     val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
+    lap("robots_ckpt")
     val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg)
+    lap("redirect_closure")
     val pagesCk = pages.localCheckpoint(true)
+    lap("pages_ckpt")
     val runId = resolveRunId(seeds, cfg)
     var frontier = seedFrontier(spark, seeds).persist()
     var seen = emptySeen(spark).persist()
+    lap("seed_persist")
     // per-round result leaves, unioned ONCE after the loop: results are
     // never read mid-loop, and an incremental union would re-analyze an
     // O(round)-leaf plan every round (quadratic total Catalyst work)
@@ -319,6 +329,7 @@ object CrawlJob {
     var round = 0
     var bloomBytes: Map[Int, Array[Byte]] = Map.empty
     var frontierCount = frontier.count()
+    lap("first_count")
     while (frontierCount > 0 && round < cfg.maxRounds) {
       val blooms =
         if (cfg.useBloomSeen)
@@ -354,6 +365,9 @@ object CrawlJob {
       if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMING"))
         System.err.println("E2EPHASES " + unifiedPre.queryExecution.tracker.phases
           .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" "))
+      if (round == 1 && sys.env.contains("SPARK_GRAFT_DEBUG_PLAN"))
+        System.err.println("E2EPLAN round=1\n" +
+          unifiedPre.queryExecution.executedPlan.treeString)
       val resultCols = out.results.columns
       val frontierCols = out.newFrontier.columns
       val t0 = System.nanoTime()

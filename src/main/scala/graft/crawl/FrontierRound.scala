@@ -172,7 +172,11 @@ object FrontierRound {
       col("src_url").as("start_url"), col("dest").as("cur_url"),
       lit(1).as("n_redirects"), col("status").as("last_status"),
       array(hop(col("src_url"), col("dest"), col("status"), col("hop_headers"))).as("chain"))
-    var done: DataFrame = null
+    // terminal legs are BUFFERED and unioned once after the loop: an
+    // incremental `done.union(leg)` would re-analyze an O(hops)-leg union
+    // tree on every hop — quadratic total Catalyst work in maxRedirects
+    // (same fix as the in-memory loop's resultRounds buffer)
+    val doneLegs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var hops = 1
     // follow while n_redirects < maxRedirects allows another hop
     while (hops < cfg.maxRedirects) {
@@ -186,10 +190,11 @@ object FrontierRound {
           (col("n_redirects") + 1).as("n_redirects"), col("j_status").as("last_status"),
           concat(col("chain"), array(hop(col("cur_url"), col("j_dest"), col("j_status"),
             col("j_headers")))).as("chain"))
-      done = if (done == null) terminal else done.union(terminal)
+      doneLegs += terminal
       resolved = continuing
       hops += 1
     }
+    val done: DataFrame = doneLegs.reduceOption(_ union _).orNull
     // whatever is still redirecting at the budget: terminal 3xx head on cur
     val exhausted = resolved.join(r.select(col("src_url").as("j_src"), col("status").as("j_status")),
       resolved("cur_url") === col("j_src"), "left")
@@ -575,20 +580,29 @@ object FrontierRound {
       .withColumn("rn", row_number().over(Window.partitionBy(col("url")).orderBy(col("depth"), col("priority"))))
       .filter(col("rn") === 1).drop("rn")
 
-    // enqueue-time anti-join vs seen' ∪ still-queued frontier
-    // (page_loader_service.rs:157). The blooms cover `seen` (through the
-    // previous round); this round's newSeen + the deferred queue are small
-    // and take the exact anti-join directly.
-    val notSeen = antiSeen(kidsDeduped)
-      .join(newSeen.select("url"), Seq("url"), "left_anti")
-    // the still-queued check: exact by default; with a frontier cuckoo probe
-    // ([[FrontierFilter]], persistent loop) filter-rejected kids skip the
-    // join against the (10^10-row at design point) frontier entirely — the
-    // probe covers the frontier at round start ⊇ deferred, so rejections
-    // are sound
-    val newEntries = (frontierProbe match {
-      case Some(p) => SeenFilter.bloomAntiJoin(notSeen, deferred.select("url"), p)
-      case None => notSeen.join(deferred.select("url"), Seq("url"), "left_anti")
+    // enqueue-time anti-join vs seen ∪ newSeen ∪ still-queued frontier
+    // (page_loader_service.rs:157). Anti-joining against the UNION of the
+    // reject sets is set-identical to chaining one anti-join per set (the
+    // kids side is never duplicated by an anti-join) but pays ONE shuffle
+    // of the kids instead of three — the union legs are map-side. The legs
+    // a membership filter accelerates stay separate: blooms cover `seen`
+    // (through the previous round), the cuckoo probe covers the frontier
+    // (⊇ deferred), and each probe's filter-rejected kids skip the exact
+    // join entirely.
+    val newEntries = ((seenBlooms, frontierProbe) match {
+      case (None, None) =>
+        kidsDeduped.join(
+          seen.select("url").union(newSeen.select("url"))
+            .union(deferred.select("url")),
+          Seq("url"), "left_anti")
+      case (Some(b), None) =>
+        SeenFilter.bloomAntiJoin(kidsDeduped, seen, b)
+          .join(newSeen.select("url").union(deferred.select("url")),
+            Seq("url"), "left_anti")
+      case (_, Some(p)) =>
+        SeenFilter.bloomAntiJoin(
+          antiSeen(kidsDeduped).join(newSeen.select("url"), Seq("url"), "left_anti"),
+          deferred.select("url"), p)
     }).select("url", "raw_url", "host", "protocol", "depth", "priority")
 
     val newFrontier = deferred.select("url", "raw_url", "host", "protocol", "depth", "priority")

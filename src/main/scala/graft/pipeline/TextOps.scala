@@ -59,18 +59,28 @@ object TextOps {
     "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "ión", "ent", "que"),
     "it" -> Seq(" di", "di ", "to ", " il", "il ", "re ", "la ", "che", "one", "ent"))
 
+  /** Sorted language list and per-language trigram hash sets, built once:
+    * the scoring loop walks the text ONCE per language with an O(1) set
+    * probe instead of substring-scanning a Seq — same hits, same argmax. */
+  private val langProfileSets: Seq[(String, Set[String])] =
+    langProfiles.toSeq.sortBy(_._1).map { case (l, p) => (l, p.toSet) }
+
   /** (guessedLang, score) — pure function, usable as a UDF. */
   def guessLang(text: String): (String, Double) = {
     if (text == null || text.length < 3) return ("und", 0.0)
     val t = text.toLowerCase
     val nTri = t.length - 2
+    // one substring per position, shared across the language loop (the
+    // per-language substring allocation dominated the old kernel)
+    val tris = new Array[String](nTri)
+    var i = 0
+    while (i < nTri) { tris(i) = t.substring(i, i + 3); i += 1 }
     var best = "und"; var bestScore = 0.0
-    langProfiles.toSeq.sortBy(_._1).foreach { case (lang, profile) =>
+    langProfileSets.foreach { case (lang, profile) =>
       var hits = 0
-      var i = 0
+      i = 0
       while (i < nTri) {
-        val tri = t.substring(i, i + 3)
-        if (profile.contains(tri)) hits += 1
+        if (profile.contains(tris(i))) hits += 1
         i += 1
       }
       val score = hits.toDouble / nTri

@@ -707,8 +707,15 @@ object Queries {
   /** The flagship: a full depth-bounded crawl of the synthesized web
     * (pages/robots/redirects fixtures), returning the ordered results table. */
   def crawlE2E(s: SparkSession, dir: String): DataFrame = {
+    val dbgT = sys.env.contains("SPARK_GRAFT_DEBUG_TIMING")
+    var dbgT0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbgT) {
+      System.err.println(f"E2EQUERY $tag=${(System.nanoTime() - dbgT0) / 1e9}%.2fs")
+      dbgT0 = System.nanoTime()
+    }
     val g = Synth.graph(42L, hosts = 3, pagesPerHost = 10)
     val (pages, robots, redirects) = Synth.toDfs(s, g)
+    lap("synth")
     // blooms off: at 30 urls the per-round bloom build jobs cost more than
     // they save (the bloom path is covered by SeenFilterSpec + CrawlE2ESpec).
     // Shuffle partitions scaled to the data for the loop's internal actions
@@ -719,12 +726,22 @@ object Queries {
     val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage")
     val prevConstr = s.conf.get("spark.sql.constraintPropagation.enabled")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevExcl = s.conf.getOption("spark.sql.optimizer.excludedRules")
     val results =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "1")
         s.conf.set("spark.sql.codegen.wholeStage", "false")
         s.conf.set("spark.sql.constraintPropagation.enabled", "false")
         s.conf.set("spark.sql.adaptive.enabled", "false")
+        // ConvertToLocalRelation eagerly evaluates projections over the
+        // embedded fixture LocalRelations ON THE DRIVER during every
+        // optimizer pass (UDF canonicalization included) — measured ~1.1 s
+        // of rule time per flagship run for zero plan benefit here, since
+        // the fixtures are checkpointed to RDD leaves right away anyway.
+        // Semantics are unaffected (optimizer rules are semantics-
+        // preserving; exclusion only skips the fold).
+        s.conf.set("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
         // shuffle.partitions=1: a 30-row loop wants exactly one task per
         // shuffle stage, statically. AQE OFF: with the round folded into
         // ONE action (results ∪ frontier ∪ newSeen tagged-union checkpoint,
@@ -741,13 +758,20 @@ object Queries {
         s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
         s.conf.set("spark.sql.constraintPropagation.enabled", prevConstr)
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        prevExcl match {
+          case Some(v) => s.conf.set("spark.sql.optimizer.excludedRules", v)
+          case None => s.conf.unset("spark.sql.optimizer.excludedRules")
+        }
       }
+    lap("run_in_memory")
     // driver-output rule: every column SCALAR — the driver harness
     // canonicalizes with a pandas sort that cannot hash array/map/binary
     // cells (the r2 q_crawl_e2e crash), so the typed `redirects` chain and
     // `headers` map are serialized to JSON strings here and only here
     // (ResultRow/parquet keep the typed columns; `priority` stays dropped)
-    CrawlJob.orderedResults(results)
+    val ordered = CrawlJob.orderedResults(results)
+    lap("ordered_plan")
+    ordered
       .select(col("schedule_rank"), col("round"), col("url"), col("host"),
         col("final_url"), col("http_code"), col("status_label"),
         col("crawl_status"), col("depth"), col("n_redirects"),
