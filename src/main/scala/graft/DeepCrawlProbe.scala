@@ -87,9 +87,16 @@ object DeepCrawlProbe {
       "cuckoo_rounds" -> countEntries(s"$stateDir/cuckoo"),
       "manifests" -> countEntries(s"$stateDir/manifest"))
     val nSweeps = chainLen / compactEvery
-    Seq("seen_rounds", "results_rounds", "metrics_rounds", "frontier_rounds",
-      "bloom_rounds", "cuckoo_rounds").foreach { k =>
+    Seq("seen_rounds", "results_rounds", "metrics_rounds", "frontier_rounds").foreach { k =>
       require(dirs(k) <= compactEvery + 1, s"$k=${dirs(k)} not bounded by cadence $compactEvery")
+    }
+    // filter tables are inventory-manifested (r6): untouched buckets are
+    // REFERENCED across round dirs instead of copied, so a dir survives GC
+    // while any bucket still resolves into it — bounded by the bucket count
+    // plus the cadence tail, never by total rounds
+    Seq("bloom_rounds", "cuckoo_rounds").foreach { k =>
+      require(dirs(k) <= cfg.seenBuckets + compactEvery + 1,
+        s"$k=${dirs(k)} not bounded by buckets ${cfg.seenBuckets} + cadence $compactEvery")
     }
     require(dirs("seen_snapshots") == 1, s"seen keeps ONE snapshot, got ${dirs("seen_snapshots")}")
     // ×2: the local Hadoop FS pairs every round=N.json with a .crc sidecar

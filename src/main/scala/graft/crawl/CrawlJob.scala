@@ -90,13 +90,26 @@ object CrawlJob {
     // written and delta-updated executor-side ([[FrontierFilter]])
     var cuckooDir: Option[String] = None
     var cuckooCap = cfg.cuckooExpectedPerBucket
+    // the cuckoo gate: forced on by config, or auto-engaged when the
+    // driver-known frontier count crosses the threshold (below it the
+    // O(|delta|) update costs more than the exact join it accelerates).
+    // Rows are identical either way — the probe only short-circuits.
+    def cuckooOn(frontierN: Long): Boolean = cfg.useCuckooFrontier ||
+      (cfg.cuckooAutoEnableAt > 0 && frontierN > cfg.cuckooAutoEnableAt)
+    val cuckooConfigured = cfg.useCuckooFrontier || cfg.cuckooAutoEnableAt > 0
 
     val last = if (resume) io.lastCommittedRound() else -1
     if (last >= 0) {
       round = last + 1
       frontier = io.readFrontier(last)
       seen = io.readSeen(last).map(_.select("url")).getOrElse(emptySeen(spark))
-      seenTotal = seen.count()
+      // the manifest carries the cumulative count — a resume must not pay a
+      // full seen-table scan for a number the commit already knew (older
+      // checkpoints without the field fall back to the one-time count)
+      seenTotal = io.readManifest(last)
+        .flatMap("\"seen_total\":(\\d+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toLong)
+        .getOrElse(seen.count())
       if (cfg.useBloomSeen) {
         bloomCap = SeenFilter.sizedFor(cfg.bloomExpectedPerBucket,
           seenTotal / math.max(cfg.seenBuckets, 1))
@@ -115,8 +128,15 @@ object CrawlJob {
       // missing cuckoo files are only an accelerator gap: the first resumed
       // round runs the exact join, then the round-end write rebuilds them
       // from the full frontier (the cuckooDir.isEmpty branch below)
-      if (cfg.useCuckooFrontier)
+      if (cuckooConfigured) {
         cuckooDir = Some(io.cuckooDir(last)).filter(_ => io.hasCuckoo(last))
+        // derive the resumed cap from the checkpointed files' actual width:
+        // the pre-crash run may have GROWN past the config default, and a
+        // reset cap would size new (previously-empty) buckets too small —
+        // avoidable dead buckets until the next growth rebuild (ADVICE r5)
+        cuckooDir.flatMap(FrontierFilter.resumedCap(_, spark))
+          .foreach(c => cuckooCap = math.max(cuckooCap, c))
+      }
     } else {
       frontier = seedFrontier(spark, seeds)
       seen = emptySeen(spark)
@@ -139,9 +159,12 @@ object CrawlJob {
         if (frontierCount > cfg.megaHostThreshold)
           Some(FrontierRound.findMegaHostsDf(frontier, cfg.megaHostThreshold))
         else None
-      // frontier-membership probe (opt-in): same constant-size broadcast
-      // shape as the blooms — a directory path + bucket count
-      val cuckoo = cuckooDir.filter(_ => cfg.useCuckooFrontier).map(d =>
+      // frontier-membership probe (configured or auto-engaged): same
+      // constant-size broadcast shape as the blooms — a directory path +
+      // bucket count. cuckooDir is only ever non-empty when last round's
+      // write gate was on, so the files always cover the round-start
+      // frontier exactly.
+      val cuckoo = cuckooDir.filter(_ => cuckooOn(frontierCount)).map(d =>
         FrontierFilter.broadcastFileCuckoos(spark, cfg.seenBuckets, d))
       val out = FrontierRound.run(spark, round, frontier, seen, pages, robotsCache, resolved, cfg, blooms, megaHosts, cuckoo)
 
@@ -188,7 +211,13 @@ object CrawlJob {
         }
         bloomDir = Some(dir)
       }
-      if (cfg.useCuckooFrontier) {
+      if (cuckooConfigured && !cuckooOn(frontierCount)) {
+        // gate off for the NEXT round (frontier below the auto threshold):
+        // stop maintaining the filters and forget the inventory — a later
+        // re-enable must rebuild from the then-current frontier, never
+        // probe stale files (stale filters could return false negatives)
+        cuckooDir = None
+      } else if (cuckooOn(frontierCount)) {
         val cap = SeenFilter.sizedFor(cfg.cuckooExpectedPerBucket,
           frontierCount / math.max(cfg.seenBuckets, 1))
         val dir = io.cuckooDir(round)
@@ -231,7 +260,7 @@ object CrawlJob {
       out.unpersist()
       io.writeMetrics(round, metricsDf)
       io.commitRound(round,
-        s"""{"round":$round,"scheduled":$scheduledN,"fetched":$fetchedN,"frontier":$frontierCount}""")
+        s"""{"round":$round,"scheduled":$scheduledN,"fetched":$fetchedN,"frontier":$frontierCount,"seen_total":$seenTotal}""")
 
       // periodic seen compaction — strictly AFTER the commit marker (only
       // committed rounds may be folded in; a crash mid-compaction must
@@ -249,8 +278,10 @@ object CrawlJob {
         // the latest committed round is ever read back) — GC the history
         // on the same cadence so their dir listings stay bounded too
         io.gcRoundDirsBelow("frontier", round)
-        io.gcRoundDirsBelow("blooms", round)
-        io.gcRoundDirsBelow("cuckoo", round)
+        // filter tables are inventory-manifested: keep exactly the files the
+        // live round's manifest references, sweep the rest
+        io.gcFilterDirsBelow("blooms", round, ".bloom")
+        io.gcFilterDirsBelow("cuckoo", round, ".cf")
         io.gcManifestsBelow(round)
       }
 
@@ -311,15 +342,21 @@ object CrawlJob {
     // localCheckpoint (not cache): collapse the static plans to LogicalRDD
     // leaves so the per-round Catalyst work doesn't grow with maxRedirects,
     // and embedded LocalRelation fixtures don't ride inside every plan
-    // (resolveRedirects checkpoints internally)
-    val robotsCache = FrontierRound.buildRobotsCache(robots).localCheckpoint(true)
+    // (resolveRedirects checkpoints internally).
+    // coalesce(1) first: a LocalRelation fixture parallelizes ~one PARTITION
+    // PER ROW, and the checkpointed leaf keeps that granularity — every one
+    // of the loop's ~100 stages then dispatches ~30 one-row tasks (measured:
+    // 1784 tasks per flagship run, 3.4× the coalesced count). The embedded
+    // loop is fixture-bounded by contract (driver smoke query, tests,
+    // bench); the persistent loop keeps parquet-native partitioning.
+    val robotsCache = FrontierRound.buildRobotsCache(robots).coalesce(1).localCheckpoint(true)
     lap("robots_ckpt")
     val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg)
     lap("redirect_closure")
-    val pagesCk = pages.localCheckpoint(true)
+    val pagesCk = pages.coalesce(1).localCheckpoint(true)
     lap("pages_ckpt")
     val runId = resolveRunId(seeds, cfg)
-    var frontier = seedFrontier(spark, seeds).persist()
+    var frontier = seedFrontier(spark, seeds).coalesce(1).persist()
     var seen = emptySeen(spark).persist()
     lap("seed_persist")
     // per-round result leaves, unioned ONCE after the loop: results are

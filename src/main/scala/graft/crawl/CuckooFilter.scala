@@ -175,11 +175,21 @@ object CuckooFilter {
     * the headroom absorbs hash skew inside one outer bucket. */
   val TargetLoad = 0.84
 
+  /** Hard per-file ceiling: 2^28 buckets = 2^30 slots = 2 GiB of table —
+    * also the point past which the Int bucket math below would overflow.
+    * An operator-supplied expectedPerBucket that large is a mis-sharding
+    * (raise the OUTER bucket count instead), so fail loudly rather than
+    * loop forever on a negative doubling (ADVICE r5). */
+  val MaxBuckets: Long = 1L << 28
+
   def create(expectedItems: Long): CuckooFilter = {
     val needed = math.max(1L, math.ceil(expectedItems / (SlotsPerBucket * TargetLoad)).toLong)
-    var m = 1
+    require(needed <= MaxBuckets,
+      s"cuckoo filter sized for $expectedItems items needs $needed buckets " +
+        s"(> 2^28 per-file ceiling) — raise the outer bucket count instead")
+    var m = 1L
     while (m < needed) m <<= 1
-    new CuckooFilter(m, new Array[Char](m * SlotsPerBucket), seedFor(m))
+    new CuckooFilter(m.toInt, new Array[Char]((m * SlotsPerBucket).toInt), seedFor(m.toInt))
   }
 
   private def seedFor(m: Int): Long = 0x9E3779B97F4A7C15L ^ m.toLong

@@ -1,6 +1,6 @@
 package graft.crawl
 
-import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -61,15 +61,23 @@ object FrontierFilter {
       new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
     private object Missing extends Serializable
 
-    private def load(bucket: Int): AnyRef = {
-      val p = new HPath(dir, s"bucket=$bucket.cf")
-      val fs = p.getFileSystem(conf.value)
-      if (!fs.exists(p)) Missing
-      else {
-        val in = fs.open(p)
-        try CuckooFilter.readFrom(in) finally in.close()
+    // inventory-resolved like [[SeenFilter.FileBlooms]]: untouched buckets'
+    // files live in earlier round dirs; absent/dead/lost buckets probe true
+    @transient private lazy val inventory: Map[Int, String] =
+      FilterInventory.resolve(dir, conf.value, ".cf")
+
+    private def load(bucket: Int): AnyRef =
+      inventory.get(bucket) match {
+        case None => Missing
+        case Some(path) =>
+          val p = new HPath(path)
+          val fs = p.getFileSystem(conf.value)
+          if (!fs.exists(p)) Missing
+          else {
+            val in = fs.open(p)
+            try CuckooFilter.readFrom(in) finally in.close()
+          }
       }
-    }
 
     def mightContain(bucket: Int, hash: Long): Boolean = {
       var f = cache.get(bucket)
@@ -104,16 +112,19 @@ object FrontierFilter {
     val spark = urls.sparkSession
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     mkdirsOrThrow(spark, outDir)
+    // sorted by (bucket, h) — not just bucket — so the filter bytes are a
+    // pure function of the url SET, independent of shuffle arrival order:
+    // the class-doc byte-identity claim holds for the distributed writer too
     val touched = hashed(urls, buckets)
-      .repartition(col("bucket")).sortWithinPartitions(col("bucket"))
+      .repartition(col("bucket")).sortWithinPartitions(col("bucket"), col("h"))
       .rdd.mapPartitions { rows =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
         var cur = -1L
         var filter: CuckooFilter = null
         var dead = false
         def flush(): Unit = if (cur >= 0) {
           writeBucket(outDir, cur.toInt, if (dead) None else Some(filter), conf)
-          out += cur.toInt
+          out += ((cur.toInt, dead))
         }
         rows.foreach { r =>
           val b = r.getLong(0)
@@ -128,51 +139,76 @@ object FrontierFilter {
         flush()
         out.iterator
       }.collect()
+    FilterInventory.write(outDir, conf.value, touched.collect {
+      case (b, false) => b -> filterPath(outDir, b).toString
+    }.toMap)
     touched.length
   }
 
-  /** Apply one round's frontier delta to the previous round's filter files:
-    * per touched bucket, load `prevDir`'s filter (or create one sized
-    * `expectedPerBucket` for a bucket that was empty), DELETE the departed
-    * hashes first (freeing slots), then insert the entered ones, and write
-    * the result under `outDir`. A bucket already `.dead` in `prevDir` stays
-    * dead (its lost memberships are unrecoverable from deltas); a bucket
-    * that saturates HERE goes dead. Untouched buckets are stream-copied
-    * forward so `outDir` always holds the complete filter inventory.
-    * O(|inserts| + |deletes|) — never a frontier scan. Returns the
-    * touched-bucket count. */
+  /** Apply one round's frontier delta to the previous round's filter
+    * inventory: per touched bucket, load its live filter (resolved through
+    * `prevDir`'s inventory — the file may live in an earlier round's dir;
+    * a bucket with no entry was empty and gets a fresh filter sized
+    * `expectedPerBucket`), DELETE the departed hashes first (freeing
+    * slots), then insert the entered ones, and write the result under
+    * `outDir`. A bucket already `.dead` in `prevDir` stays dead (its lost
+    * memberships are unrecoverable from deltas); a bucket that saturates
+    * HERE goes dead; a bucket whose referenced file is LOST goes dead too
+    * (a fresh filter would fabricate false negatives). Untouched buckets
+    * are REFERENCED by the new `_inventory`, never copied ([[FilterInventory]]
+    * — the r5-verdict #2 fix); only the zero-byte `.dead` markers carry
+    * physically (rare, and the next writer's prev-dir lookup needs them).
+    * O(|inserts| + |deletes|) work and bytes — never a frontier scan, never
+    * a full-inventory copy. Returns the touched-bucket count. */
   def writeDeltas(inserts: DataFrame, deletes: DataFrame, buckets: Int,
       expectedPerBucket: Long, prevDir: String, outDir: String): Int = {
     val spark = inserts.sparkSession
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     mkdirsOrThrow(spark, outDir)
+    val prevLive: Map[Int, String] = FilterInventory.resolve(prevDir, conf.value, ".cf")
+    val prevDeadSet: Set[Int] = {
+      val p = new HPath(prevDir)
+      val fs = p.getFileSystem(conf.value)
+      if (!fs.exists(p)) Set.empty
+      else {
+        val rx = "bucket=(\\d+)\\.dead".r
+        fs.listStatus(p).flatMap(_.getPath.getName match {
+          case rx(b) => Some(b.toInt)
+          case _ => None
+        }).toSet
+      }
+    }
     // op 0 = delete, 1 = insert; the within-bucket sort runs deletes first
     val tagged = hashed(deletes, buckets).withColumn("op", lit(0))
       .unionByName(hashed(inserts, buckets).withColumn("op", lit(1)))
-    val touched: Array[Int] = tagged
-      .repartition(col("bucket")).sortWithinPartitions(col("bucket"), col("op"))
+    // (bucket, op, h): deletes before inserts as the protocol requires, and
+    // the h tie-break makes the applied sequence — hence the filter bytes —
+    // a pure function of the delta SETS, not of shuffle arrival order
+    val touched: Array[(Int, Boolean)] = tagged
+      .repartition(col("bucket")).sortWithinPartitions(col("bucket"), col("op"), col("h"))
       .rdd.mapPartitions { rows =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
         var cur = -1L
         var filter: CuckooFilter = null
         var dead = false
         def open(bucket: Int): Unit = {
-          val prevDead = deadPath(prevDir, bucket)
-          val prevFile = filterPath(prevDir, bucket)
-          val fs = prevFile.getFileSystem(conf.value)
-          if (fs.exists(prevDead)) { dead = true; filter = null }
-          else if (fs.exists(prevFile)) {
-            dead = false
-            val in = fs.open(prevFile)
-            try filter = CuckooFilter.readFrom(in) finally in.close()
-          } else {
-            dead = false
-            filter = CuckooFilter.create(expectedPerBucket)
+          dead = false; filter = null
+          if (prevDeadSet.contains(bucket)) dead = true
+          else prevLive.get(bucket) match {
+            case None => filter = CuckooFilter.create(expectedPerBucket)
+            case Some(path) =>
+              val p = new HPath(path)
+              val fs = p.getFileSystem(conf.value)
+              if (!fs.exists(p)) dead = true // referenced file lost
+              else {
+                val in = fs.open(p)
+                try filter = CuckooFilter.readFrom(in) finally in.close()
+              }
           }
         }
         def flush(): Unit = if (cur >= 0) {
           writeBucket(outDir, cur.toInt, if (dead) None else Some(filter), conf)
-          out += cur.toInt
+          out += ((cur.toInt, dead))
         }
         rows.foreach { r =>
           val b = r.getLong(0)
@@ -185,22 +221,14 @@ object FrontierFilter {
         flush()
         out.iterator
       }.collect()
-    // carry forward every bucket this delta never touched (.cf and .dead
-    // alike) — streamed one file at a time, the driver buffers an IO chunk
-    val fsDriver = new HPath(prevDir).getFileSystem(conf.value)
-    val prev = new HPath(prevDir)
-    if (fsDriver.exists(prev)) {
-      val touchedSet = touched.toSet
-      val rx = "bucket=(\\d+)\\.(cf|dead)".r
-      fsDriver.listStatus(prev).foreach { st =>
-        st.getPath.getName match {
-          case rx(b, _) if !touchedSet.contains(b.toInt) =>
-            FileUtil.copy(fsDriver, st.getPath, fsDriver,
-              new HPath(outDir, st.getPath.getName), false, true, conf.value)
-          case _ =>
-        }
-      }
+    val touchedSet = touched.map(_._1).toSet
+    // untouched dead buckets: carry the zero-byte marker forward
+    val fsDriver = new HPath(outDir).getFileSystem(conf.value)
+    (prevDeadSet -- touchedSet).foreach(b => fsDriver.create(deadPath(outDir, b), true).close())
+    val entries = (prevLive -- touchedSet -- prevDeadSet) ++ touched.collect {
+      case (b, false) => b -> filterPath(outDir, b).toString
     }
+    FilterInventory.write(outDir, conf.value, entries)
     touched.length
   }
 
@@ -226,6 +254,27 @@ object FrontierFilter {
     val p = new HPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.mkdirs(p)) throw new java.io.IOException(s"mkdirs failed: $p")
+  }
+
+  /** Per-bucket capacity implied by a checkpointed inventory: reads ONE
+    * bucket file's header (8 bytes — never a table) and inverts
+    * [[CuckooFilter.create]]'s sizing, so a resume derives the cap the
+    * pre-crash run had GROWN to instead of resetting to the config default
+    * (which would make [[writeDeltas]] create undersized filters for
+    * previously-empty buckets — extra dead buckets, an ADVICE r5 perf
+    * regression). None when the dir holds no live `.cf` file. */
+  def resumedCap(dir: String, spark: SparkSession): Option[Long] = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).find(_.getPath.getName.endsWith(".cf")).map { st =>
+      val in = new java.io.DataInputStream(fs.open(st.getPath))
+      try {
+        in.readInt() // version (readFrom validates; the header shape is ours)
+        val numBuckets = in.readInt()
+        (numBuckets.toLong * CuckooFilter.SlotsPerBucket * CuckooFilter.TargetLoad).toLong
+      } finally in.close()
+    }
   }
 
   /** Broadcast a file-backed frontier probe: constant-size on the wire no

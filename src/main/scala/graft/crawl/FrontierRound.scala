@@ -142,6 +142,14 @@ object FrontierRound {
         hostOfUdf(col("src_url")), col("src_url")))
       .cache()
 
+    // Exact hop-table size, known up front (the count materializes `r`'s
+    // cache, which the first hop would have paid anyway): small tables get
+    // (a) broadcast hop joins below and (b) a single-partition closure leaf
+    // — a LocalRelation-fed closure otherwise checkpoints at ~one partition
+    // per row, and every round's redirect join then dispatches that many
+    // near-empty tasks.
+    val smallHopTable = r.count() <= cfg.redirectBroadcastMaxRows
+
     // Collapse the finished closure to a LogicalRDD leaf HERE (eager
     // checkpoint): the closure is a maxRedirects-deep join/union tree that
     // every round's plan would otherwise embed and re-analyze, and
@@ -149,7 +157,7 @@ object FrontierRound {
     // the hop joins of this one build — be released immediately instead of
     // lingering for the job's lifetime.
     def finish(plan: DataFrame): DataFrame = {
-      val out = plan.localCheckpoint(true)
+      val out = (if (smallHopTable) plan.coalesce(1) else plan).localCheckpoint(true)
       r.unpersist()
       out
     }
@@ -168,6 +176,14 @@ object FrontierRound {
       struct(source.as("source"), destination.as("destination"), status.as("status"),
         headers.as("headers"))
 
+    // Join-strategy choice for the per-hop joins: a small hop table takes a
+    // broadcast hint, so all maxRedirects hop joins become map-side
+    // BroadcastHashJoins over ONE reused broadcast exchange — no per-hop
+    // shuffle or sort. A big hop table keeps the shuffle joins (broadcast
+    // would be the scale-killer). Either path computes the identical
+    // closure.
+    val hopSide = if (smallHopTable) broadcast(r) else r
+
     var resolved = r.select(
       col("src_url").as("start_url"), col("dest").as("cur_url"),
       lit(1).as("n_redirects"), col("status").as("last_status"),
@@ -180,7 +196,7 @@ object FrontierRound {
     var hops = 1
     // follow while n_redirects < maxRedirects allows another hop
     while (hops < cfg.maxRedirects) {
-      val joined = resolved.join(r.select(col("src_url").as("j_src"), col("dest").as("j_dest"),
+      val joined = resolved.join(hopSide.select(col("src_url").as("j_src"), col("dest").as("j_dest"),
         col("status").as("j_status"), col("hop_headers").as("j_headers")),
         resolved("cur_url") === col("j_src"), "left")
       val terminal = joined.filter(col("j_src").isNull)
@@ -196,7 +212,7 @@ object FrontierRound {
     }
     val done: DataFrame = doneLegs.reduceOption(_ union _).orNull
     // whatever is still redirecting at the budget: terminal 3xx head on cur
-    val exhausted = resolved.join(r.select(col("src_url").as("j_src"), col("status").as("j_status")),
+    val exhausted = resolved.join(hopSide.select(col("src_url").as("j_src"), col("status").as("j_status")),
       resolved("cur_url") === col("j_src"), "left")
     val exhaustedRedirect = exhausted.filter(col("j_src").isNotNull)
       .select(col("start_url"), col("cur_url").as("final_url"), col("n_redirects"),

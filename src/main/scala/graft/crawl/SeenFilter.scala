@@ -1,6 +1,6 @@
 package graft.crawl
 
-import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -94,15 +94,26 @@ object SeenFilter {
       new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
     private object Missing extends Serializable
 
-    private def load(bucket: Int): AnyRef = {
-      val p = new HPath(dir, s"bucket=$bucket.bloom")
-      val fs = p.getFileSystem(conf.value)
-      if (!fs.exists(p)) Missing
-      else {
-        val in = fs.open(p)
-        try BloomFilter.readFrom(in) finally in.close()
+    // bucket → file map: the round's _inventory manifest (read once per
+    // executor — untouched buckets reference files in EARLIER round dirs,
+    // see [[FilterInventory]]), or the dir's own files for pre-inventory
+    // layouts. A bucket absent from the map — or whose mapped file is gone
+    // — probes maybe-seen (exact-join fallback), as before.
+    @transient private lazy val inventory: Map[Int, String] =
+      FilterInventory.resolve(dir, conf.value, ".bloom")
+
+    private def load(bucket: Int): AnyRef =
+      inventory.get(bucket) match {
+        case None => Missing
+        case Some(path) =>
+          val p = new HPath(path)
+          val fs = p.getFileSystem(conf.value)
+          if (!fs.exists(p)) Missing
+          else {
+            val in = fs.open(p)
+            try BloomFilter.readFrom(in) finally in.close()
+          }
       }
-    }
 
     def mightContain(bucket: Int, hash: Long): Boolean = {
       var f = cache.get(bucket)
@@ -139,13 +150,16 @@ object SeenFilter {
 
   /** Build per-bucket filters over `urls` and write each bucket's serialized
     * filter straight FROM THE AGGREGATING TASK to `outDir/bucket=B.bloom`,
-    * bloom-union-merged with the same bucket's filter under `prevDir` when
-    * present (widths must match — the caller keeps capacity a deterministic
-    * function of cumulative load, see [[sizedFor]]). Buckets with no new
-    * urls get their previous file copied forward (streamed one at a time),
-    * so `outDir` always holds the full cumulative filter set. The driver
-    * handles only the touched bucket IDS (a few ints) — never filter bytes.
-    * Returns the touched-bucket count (diagnostic). */
+    * bloom-union-merged with the same bucket's previous filter (resolved
+    * through `prevDir`'s inventory — the file may live in an earlier round's
+    * dir) when present; widths must match — the caller keeps capacity a
+    * deterministic function of cumulative load, see [[sizedFor]]. Buckets
+    * with no new urls are NOT copied: `outDir/_inventory` references their
+    * existing files where they are ([[FilterInventory]] — the r5-verdict #2
+    * fix; the old copy-forward paid O(total filter bytes + buckets·RTT) per
+    * round however small the delta). The driver handles bucket IDs and path
+    * strings only — never filter bytes. Returns the touched-bucket count
+    * (diagnostic). */
   def writeMergedBlooms(urls: DataFrame, buckets: Int, expectedPerBucket: Long,
       prevDir: Option[String], outDir: String): Int = {
     val spark = urls.sparkSession
@@ -154,7 +168,10 @@ object SeenFilter {
     val fsDriver = out.getFileSystem(conf.value)
     if (!fsDriver.mkdirs(out))
       throw new java.io.IOException(s"mkdirs failed: $out")
-    val prev = prevDir // stable local for the closure
+    // bucket → live file of the previous round (inventory-resolved): tasks
+    // merge from it, the new manifest carries the untouched entries forward
+    val prevLive: Map[Int, String] =
+      prevDir.map(FilterInventory.resolve(_, conf.value, ".bloom")).getOrElse(Map.empty)
     val touched: Array[Int] = bloomAggPlan(urls, buckets, expectedPerBucket)
       .rdd.mapPartitions { rows =>
         rows.map { r =>
@@ -163,7 +180,7 @@ object SeenFilter {
           val filter = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
           val dst = new HPath(outDir, s"bucket=$bucket.bloom")
           val fs = dst.getFileSystem(conf.value)
-          prev.map(p => new HPath(p, s"bucket=$bucket.bloom")).filter(fs.exists).foreach { pf =>
+          prevLive.get(bucket).map(new HPath(_)).filter(fs.exists).foreach { pf =>
             val in = fs.open(pf)
             try filter.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
           }
@@ -172,20 +189,9 @@ object SeenFilter {
           bucket
         }
       }.collect()
-    // carry forward the buckets this batch never touched (stream copy —
-    // the driver buffers one IO chunk, never a whole filter)
-    prevDir.map(new HPath(_)).filter(fsDriver.exists).foreach { pd =>
-      val touchedSet = touched.toSet
-      val rx = "bucket=(\\d+)\\.bloom".r
-      fsDriver.listStatus(pd).foreach { st =>
-        st.getPath.getName match {
-          case rx(b) if !touchedSet.contains(b.toInt) =>
-            FileUtil.copy(fsDriver, st.getPath, fsDriver,
-              new HPath(out, st.getPath.getName), false, true, conf.value)
-          case _ =>
-        }
-      }
-    }
+    val entries = (prevLive -- touched) ++
+      touched.map(b => b -> new HPath(out, s"bucket=$b.bloom").toString)
+    FilterInventory.write(outDir, conf.value, entries)
     touched.length
   }
 

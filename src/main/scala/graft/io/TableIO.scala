@@ -182,10 +182,15 @@ final class TableIO(spark: SparkSession, root: String) {
     * [[graft.crawl.SeenFilter.writeMergedBlooms]]). */
   def bloomsDir(round: Int): String = p("blooms", s"round=$round")
 
-  /** Does the round have at least one committed bucket filter file? */
+  /** Does the round have a committed filter inventory (its `_inventory`
+    * manifest — which may reference files in earlier round dirs — or, for
+    * pre-inventory layouts, at least one bucket file of its own)? */
   def hasBlooms(round: Int): Boolean = {
     val dir = hp("blooms", s"round=$round")
-    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.endsWith(".bloom"))
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n == graft.crawl.FilterInventory.FileName || n.endsWith(".bloom")
+    }
   }
 
   /** The round's per-bucket frontier cuckoo-filter directory (mirrors the
@@ -195,12 +200,12 @@ final class TableIO(spark: SparkSession, root: String) {
   def cuckooDir(round: Int): String = p("cuckoo", s"round=$round")
 
   /** Does the round have at least one committed cuckoo bucket entry
-    * (filter file or dead marker)? */
+    * (inventory manifest, filter file or dead marker)? */
   def hasCuckoo(round: Int): Boolean = {
     val dir = hp("cuckoo", s"round=$round")
     fs.exists(dir) && fs.listStatus(dir).exists { st =>
       val n = st.getPath.getName
-      n.endsWith(".cf") || n.endsWith(".dead")
+      n == graft.crawl.FilterInventory.FileName || n.endsWith(".cf") || n.endsWith(".dead")
     }
   }
 
@@ -232,6 +237,13 @@ final class TableIO(spark: SparkSession, root: String) {
   def commitRound(round: Int, manifestJson: String): Unit =
     atomicWrite(hp("manifest"), s"round=$round.json",
       manifestJson.getBytes(StandardCharsets.UTF_8))
+
+  /** The committed manifest JSON of `round`, if present. */
+  def readManifest(round: Int): Option[String] = {
+    val f = hp("manifest", s"round=$round.json")
+    if (!fs.exists(f)) None
+    else Some(new String(readBytes(f), StandardCharsets.UTF_8))
+  }
 
   /** Highest committed round, or -1 if none. */
   def lastCommittedRound(): Int = {
@@ -488,6 +500,52 @@ final class TableIO(spark: SparkSession, root: String) {
         case roundRx(r) if r.toInt < keepRound => fs.delete(st.getPath, true)
         case _ =>
       }
+    }
+  }
+
+  /** GC for the inventory-manifested filter tables (blooms / cuckoo):
+    * untouched buckets are REFERENCED across round dirs instead of copied
+    * forward ([[graft.crawl.FilterInventory]]), so plain
+    * [[gcRoundDirsBelow]] would delete files the live round still resolves
+    * through. This variant reads `keepRound`'s manifest, deletes every
+    * UNREFERENCED filter file below it, and drops round dirs that end up
+    * holding nothing live — total retained bytes stay = the live inventory,
+    * and the dir listing is bounded by min(buckets, rounds) + the
+    * compaction cadence, never by total rounds. Zero-byte `.dead` markers
+    * below keepRound are swept with their dirs (the live round carries its
+    * own). Falls back to [[gcRoundDirsBelow]] when keepRound has no
+    * manifest (pre-inventory layout). */
+  def gcFilterDirsBelow(table: String, keepRound: Int, suffix: String): Unit = {
+    val dir = hp(table)
+    if (!fs.exists(dir)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inv = graft.crawl.FilterInventory.read(p(table, s"round=$keepRound"), conf)
+    inv match {
+      case None => gcRoundDirsBelow(table, keepRound)
+      case Some(entries) =>
+        val referenced: Set[String] =
+          entries.values.map(new HPath(_).toUri.getPath).toSet
+        fs.listStatus(dir).foreach { st =>
+          st.getPath.getName match {
+            case roundRx(r) if r.toInt < keepRound =>
+              val files = fs.listStatus(st.getPath)
+              val keptNames = files.map(_.getPath).collect {
+                case f if f.getName.endsWith(suffix) &&
+                  referenced.contains(f.toUri.getPath) => f.getName
+              }.toSet
+              if (keptNames.isEmpty) fs.delete(st.getPath, true)
+              else files.foreach { f =>
+                val name = f.getPath.getName
+                // keep referenced filter files and their checksum sidecars
+                // (the local/checksum FS pairs every file with .name.crc)
+                val keep = keptNames.contains(name) ||
+                  (name.startsWith(".") && name.endsWith(".crc") &&
+                    keptNames.contains(name.stripPrefix(".").stripSuffix(".crc")))
+                if (!keep) fs.delete(f.getPath, false)
+              }
+            case _ =>
+          }
+        }
     }
   }
 

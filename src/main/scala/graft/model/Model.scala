@@ -80,6 +80,16 @@ final case class CrawlConfig(
     /** Bloom sizing: expected urls per bucket (3% fpp at this load). At
       * 10^10 urls raise seenBuckets so this stays ≤ ~4M per bucket. */
     bloomExpectedPerBucket: Long = 4096L,
+    /** Redirect-closure join strategy threshold: when the redirects fixture
+      * holds at most this many rows (known exactly — the closure build
+      * materializes its hop cache anyway), every per-hop join takes a
+      * broadcast hint, so the whole maxRedirects-deep closure collapses to
+      * map-side BroadcastHashJoins sharing ONE reused broadcast of the hop
+      * table — no per-hop shuffle, no per-hop sort. Above it the hops keep
+      * shuffle joins (a huge redirects table must never be broadcast).
+      * Purely a join-strategy heuristic: either path computes the same
+      * closure. */
+    redirectBroadcastMaxRows: Long = 1L << 20,
     /** Accelerate the enqueue-time still-queued anti-join with per-bucket
       * CUCKOO filters mirroring the frontier (north_rule "Bloom/cuckoo" —
       * the deletable half: urls leave the frontier when scheduled, which a
@@ -88,6 +98,16 @@ final case class CrawlConfig(
       * saturated/missing bucket files probe all-true). See
       * [[graft.crawl.FrontierFilter]]. */
     useCuckooFrontier: Boolean = false,
+    /** Auto-engage the cuckoo frontier gate when the driver-known frontier
+      * count exceeds this (0 = never auto-engage; `useCuckooFrontier=true`
+      * forces it on regardless). Below the threshold the per-round delta
+      * update costs more than the exact join it accelerates (BASELINE.md
+      * crossover ~15M urls locally), so at the design point the gate flips
+      * itself on as the frontier widens and off if it collapses — rows are
+      * identical either way (the probe only short-circuits the exact join).
+      * A re-enable after an off stretch rebuilds the filters from the full
+      * frontier (stale filters are never probed). */
+    cuckooAutoEnableAt: Long = 0L,
     /** Cuckoo sizing: expected frontier urls per bucket (the filter is
       * created with ~19% slot headroom; a bucket loaded past capacity goes
       * dead = exact-join fallback until the next growth rebuild, which

@@ -101,14 +101,23 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    // same reasoning: the token-set table feeds both verify-join sides
+    // same reasoning: the token-set table feeds both verify-join sides.
+    // Set size is computed ONCE per doc here; the per-pair |A∪B| is then
+    // pure arithmetic (|A|+|B|−|A∩B| — exact for the duplicate-free
+    // collect_set arrays), so each verified pair pays ONE array hash-set
+    // pass (the intersect) instead of the intersect + a same-cost
+    // array_union.
     val toks = docTokens(docs).groupBy("doc_id")
-      .agg(collect_set(col("tok")).as("toks")).localCheckpoint(true)
-    cand.join(toks.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
-      .join(toks.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
+      .agg(collect_set(col("tok")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"))
+      .localCheckpoint(true)
+    cand.join(toks.select(col("doc_id").as("a"), col("toks").as("ta"),
+        col("sz").as("sza")), "a")
+      .join(toks.select(col("doc_id").as("b"), col("toks").as("tb"),
+        col("sz").as("szb")), "b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("uni", size(array_union(col("ta"), col("tb"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -129,7 +138,13 @@ object DedupOps {
       // digit value 0..15, then extract bit via floor-div/mod; `h` is the
       // per-token md5 computed ONCE in the projection below — 64 aggregate
       // expressions referencing one shared digest column instead of each
-      // embedding its own md5(tok) call
+      // embedding its own md5(tok) call. NOTE (r6): hoisting the 16
+      // instr(substr(h,d,1)) digit extractions into their own projection was
+      // tried and measured NEUTRAL-to-worse (interleaved best-of-5: 1.06 s
+      // old vs 1.27 s hoisted at sf0.1) — whole-stage codegen's
+      // subexpression elimination already shares them across the 64
+      // aggregate expressions (unlike across a lambda boundary, see
+      // [[shinglesOf]]), so the extra projection only adds a row copy.
       val v = expr(s"instr('0123456789abcdef', substr(h, $d, 1)) - 1")
       val bit = (floor(v / p.toDouble).cast("int") % 2)
       sum(bit * 2 - 1).as(s"s$b")
@@ -157,14 +172,21 @@ object DedupOps {
 
   // ---------- word n-gram Jaccard ----------
 
-  /** Distinct word 3-gram set per doc. */
-  def docShingles(docs: DataFrame, n: Int = 3): Column = {
-    val toks = split(col("text"), " ")
-    val grams = expr(
-      s"""CASE WHEN size(split(text, ' ')) >= $n
-         |THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-         |     i -> concat_ws(' ', slice(split(text, ' '), i, $n)))
-         |ELSE array() END""".stripMargin)
+  /** Distinct word n-gram set over a PRE-SPLIT token-array column.
+    *
+    * The tokens must arrive as a bound column (split once per row in a
+    * projection below), never as `split(text,' ')` inlined here: a `split`
+    * inside the transform lambda is re-evaluated per element — Catalyst's
+    * subexpression elimination does not hoist across the lambda boundary —
+    * making shingling O(|tokens|²) per document. Measured at sf0.1
+    * (interleaved best-of-5): the per-doc size projection 1.48 s → 0.42 s
+    * per pass, the shingle explode 0.29 s → 0.20 s, the full
+    * q_ngram_jaccard 3.6 s → 0.94 s. */
+  def shinglesOf(toks: Column, n: Int = 3): Column = {
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
 
@@ -191,13 +213,16 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0,
       maxDocFreq: Long = 0L): DataFrame = {
     // The shingle explode fans every doc out ~|tokens| ways, so its input is
-    // spread to cluster parallelism first (no-op at scale — Spread.upTo);
-    // the generator expression stays INLINE in the Generate (materializing
-    // the array in a projection below the explode doubles the per-row cost).
+    // spread to cluster parallelism first (no-op at scale — Spread.upTo).
+    // Tokens are split ONCE per row into a bound column below the shingle
+    // transform (see [[shinglesOf]]); the token array itself is never
+    // shuffled — the spread moves the raw text, the split runs post-shuffle.
     val spreadDocs = graft.util.Spread.upTo(
       docs.select(col("doc_id"), col("text"), col("source")))
-    val sh0 = spreadDocs.select(col("doc_id"), col("source"),
-      explode(docShingles(docs, n)).as("gram"))
+    val sh0 = spreadDocs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("source"),
+        explode(shinglesOf(col("__toks"), n)).as("gram"))
     val sh =
       if (maxDocFreq <= 0L) sh0
       else {
@@ -222,8 +247,12 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
     // |A| is the LENGTH of the distinct-shingle array — a map-only
     // projection (the r5 plan re-exploded and re-aggregated the corpus
-    // twice to count it); joined onto the much smaller pair table
-    val sizes = docs.select(col("doc_id"), size(docShingles(docs, n)).as("sz"))
+    // twice to count it); joined onto the much smaller pair table. The
+    // two-step select keeps the split bound OUTSIDE the shingle lambda
+    // (CollapseProject never inlines a multiply-referenced non-trivial
+    // alias, so the hoist survives optimization).
+    val sizes = docs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), size(shinglesOf(col("__toks"), n)).as("sz"))
     // filter on the UNROUNDED ratio (round only in the projection): a pair
     // with tiny-but-positive jaccard must survive minJaccard=0 exactly as in
     // the oracle's `intersection > 0` predicate (inter >= 1 by construction,

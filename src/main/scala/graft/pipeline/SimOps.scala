@@ -94,12 +94,16 @@ object SimOps {
   def planes(seed: Long, nPlanes: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dims)((p, d) => planeComponent(seed, p, d))
 
-  /** Sign-pattern LSH bucket id per vector: bit p = (embedding · plane_p ≥ 0). */
+  /** Sign-pattern LSH bucket id per vector: bit p = (embedding · plane_p ≥ 0).
+    * Plane dots run through the native codegen [[FloatDoubleVecDot]] — same
+    * double fold order as the HOF `dot` (and the oracle), none of its
+    * per-element interpreted lambda dispatch. */
   def lshBucket(embeddings: DataFrame, seed: Long, nPlanes: Int, dims: Int): DataFrame = {
     val ps = planes(seed, nPlanes, dims)
     val bucket = (0 until nPlanes).map { p =>
       val plane = array(ps(p).map(lit): _*)
-      when(dot(col("embedding"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(graft.functions.VectorFunctions.fddot(col("embedding"), plane) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     embeddings.withColumn("bucket", bucket)
   }
@@ -161,10 +165,13 @@ object SimOps {
     Array.tabulate(kCells)(c => centroid(seed, c, dims))
 
   /** One `(dot, -cell)` struct per centroid — max of these is "highest dot,
-    * ties → smallest cell id" under Spark's lexicographic struct ordering. */
+    * ties → smallest cell id" under Spark's lexicographic struct ordering.
+    * Centroid dots use the codegen [[FloatDoubleVecDot]] (identical values,
+    * no interpreted HOF lambda per element — see [[lshBucket]]). */
   private def cellPacked(cs: Array[Array[Double]]): Seq[Column] =
     cs.indices.map { c =>
-      struct(dot(col("embedding"), array(cs(c).map(lit): _*)).as("d"),
+      struct(graft.functions.VectorFunctions.fddot(col("embedding"),
+        array(cs(c).map(lit): _*)).as("d"),
         lit(-c).as("nc"))
     }
 

@@ -144,6 +144,84 @@ class CuckooFilterSpec extends AnyFunSuite {
     probe.destroy()
   }
 
+  test("delta write references untouched buckets through the inventory; GC keeps exactly the reachable files") {
+    val base = java.nio.file.Files.createTempDirectory("cuckoo-inv").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live0 = (0 until 1000).map(i => s"https://h$i.test/a/$i")
+    FrontierFilter.writeFromUrls(live0.toDF("url"), 8, 512, s"$base/cuckoo/round=0")
+    // a 2-url delta: at most 2 of 8 buckets touched
+    val entered = Seq("https://hx.test/new/1", "https://hx.test/new/2")
+    val departed = Seq(live0.head)
+    val touched = FrontierFilter.writeDeltas(entered.toDF("url"), departed.toDF("url"),
+      8, 512, s"$base/cuckoo/round=0", s"$base/cuckoo/round=1")
+    def cfFiles(d: String) = new java.io.File(d).listFiles()
+      .map(_.getName).filter(_.endsWith(".cf")).toSet
+    assert(touched <= 3 && cfFiles(s"$base/cuckoo/round=1").size == touched,
+      "round dir must hold exactly the touched bucket files")
+    val inv1 = graft.crawl.FilterInventory.read(s"$base/cuckoo/round=1", conf).get
+    assert(inv1.values.exists(_.contains("round=0")),
+      "untouched buckets must reference round-0 files")
+    // parity through the MIXED inventory (touched files in round=1, the
+    // rest resolved into round=0)
+    val live = live0.drop(1) ++ entered
+    def parity(): Unit = {
+      val cand = (live.take(200) ++ departed ++
+        (0 until 200).map(i => s"https://hz.test/q/$i")).toDF("url")
+      val probe = FrontierFilter.broadcastFileCuckoos(spark, 8, s"$base/cuckoo/round=1")
+      val accel = SeenFilter.bloomAntiJoin(cand, live.toDF("url"), probe)
+        .select("url").as[String].collect().sorted.toSeq
+      val plain = cand.join(live.toDF("url"), Seq("url"), "left_anti")
+        .select("url").as[String].collect().sorted.toSeq
+      assert(accel == plain)
+      probe.destroy()
+    }
+    parity()
+    // GC below round 1 must keep the round-0 files round 1 still references
+    // and drop the SUPERSEDED round-0 copies of the touched buckets
+    val io = new graft.io.TableIO(spark, base)
+    io.gcFilterDirsBelow("cuckoo", 1, ".cf")
+    val kept0 = cfFiles(s"$base/cuckoo/round=0")
+    assert(kept0.size == 8 - touched, s"round-0 must keep exactly the referenced files, kept $kept0")
+    parity() // still exact over the swept layout
+  }
+
+  test("resumedCap re-derives the grown per-bucket capacity from a checkpointed file header") {
+    val dir = java.nio.file.Files.createTempDirectory("cuckoo-cap").toString
+    val urls = (0 until 64).map(i => s"https://h.test/$i").toDF("url")
+    FrontierFilter.writeFromUrls(urls, 4, 5000L, dir)
+    val cap = FrontierFilter.resumedCap(dir, spark).get
+    // capacity implied by the written width must cover what it was sized
+    // for, and create() must reproduce the identical width (merge-safety)
+    assert(cap >= 5000L)
+    assert(CuckooFilter.create(cap).numBuckets == CuckooFilter.create(5000L).numBuckets)
+  }
+
+  test("auto-enable gate: engages above the frontier threshold, disengages below, rows identical") {
+    val g = Synth.graph(seed = 55L, hosts = 3, pagesPerHost = 14)
+    val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
+    def runWith(auto: Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ck-auto-$auto").toString
+      val cfg = CrawlConfig(maxDepth = 4, hostQuotaPerRound = 3, runId = "t",
+        cuckooAutoEnableAt = auto)
+      val job = CrawlJob.run(spark, g.seeds, pagesDf, robotsDf, redirectsDf, cfg, dir)
+      val rows = job.results
+        .select("round", "url", "final_url", "http_code", "crawl_status", "depth", "n_links")
+        .collect().map(_.toString).sorted.toSeq
+      (rows, job.rounds, dir)
+    }
+    // threshold 4: off for the seed rounds (frontier = 3), on as the BFS
+    // widens, off again as the frontier collapses at the end
+    val (rAuto, nAuto, dirAuto) = runWith(4L)
+    val (rOff, nOff, _) = runWith(0L)
+    assert(nAuto == nOff)
+    assert(rAuto == rOff)
+    val io = new graft.io.TableIO(spark, dirAuto)
+    val states = (0 until nAuto).map(io.hasCuckoo)
+    assert(states.exists(identity), "the gate must have engaged mid-crawl")
+    assert(!states.head || !states.last,
+      "the gate must have been off at the narrow end(s) of the crawl")
+  }
+
   test("persistent crawl with the cuckoo frontier gate is row-identical to without") {
     val g = Synth.graph(seed = 99L, hosts = 3, pagesPerHost = 14)
     val (pagesDf, robotsDf, redirectsDf) = Synth.toDfs(spark, g)
