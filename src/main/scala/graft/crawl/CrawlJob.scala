@@ -345,10 +345,12 @@ object CrawlJob {
     // (resolveRedirects checkpoints internally).
     // coalesce(1) first: a LocalRelation fixture parallelizes ~one PARTITION
     // PER ROW, and the checkpointed leaf keeps that granularity — every one
-    // of the loop's ~100 stages then dispatches ~30 one-row tasks (measured:
-    // 1784 tasks per flagship run, 3.4× the coalesced count). The embedded
-    // loop is fixture-bounded by contract (driver smoke query, tests,
-    // bench); the persistent loop keeps parquet-native partitioning.
+    // of the loop's ~90 stages then dispatches ~30 one-row tasks (measured:
+    // 1784 → 493 tasks per flagship run; wall-neutral on local[32], where
+    // the one-row tasks dispatched in parallel anyway, but 3.6× less
+    // scheduler traffic). The embedded loop is fixture-bounded by contract
+    // (driver smoke query, tests, bench); the persistent loop keeps
+    // parquet-native partitioning.
     val robotsCache = FrontierRound.buildRobotsCache(robots).coalesce(1).localCheckpoint(true)
     lap("robots_ckpt")
     val resolved = FrontierRound.resolveRedirects(spark, redirects, cfg)

@@ -605,7 +605,7 @@ object FrontierRound {
     // (through the previous round), the cuckoo probe covers the frontier
     // (⊇ deferred), and each probe's filter-rejected kids skip the exact
     // join entirely.
-    val newEntries = ((seenBlooms, frontierProbe) match {
+    val newEntries0 = ((seenBlooms, frontierProbe) match {
       case (None, None) =>
         kidsDeduped.join(
           seen.select("url").union(newSeen.select("url"))
@@ -621,11 +621,24 @@ object FrontierRound {
           deferred.select("url"), p)
     }).select("url", "raw_url", "host", "protocol", "depth", "priority")
 
+    // when a cuckoo gate is configured, the round's `entered` slice is
+    // consumed a second time by the delta writer (CrawlJob) AFTER the
+    // frontier write already materialized it — persist so the delta job
+    // reads the cache instead of re-running the whole enqueue-gate join
+    // chain (measured: DeepCrawlProbe --cuckoo median round 8.0 s vs 4.4 s
+    // control before this; the persist is skipped entirely when no gate is
+    // configured, so the bench/flagship path is untouched)
+    val newEntries =
+      if (cfg.useCuckooFrontier || cfg.cuckooAutoEnableAt > 0)
+        newEntries0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newEntries0
+
     val newFrontier = deferred.select("url", "raw_url", "host", "protocol", "depth", "priority")
       .unionByName(newEntries)
 
     RoundOutput(results, newSeen, newFrontier,
       scheduled0.select("url"), newEntries.select("url"),
-      schedCached ++ Seq(headed, fetched))
+      schedCached ++ Seq(headed, fetched) ++
+        (if (newEntries ne newEntries0) Seq(newEntries) else Seq.empty))
   }
 }
