@@ -56,6 +56,24 @@ object ScratchProbe {
       "toks_agg" -> (() => DedupOps.docTokens(docs).groupBy("doc_id")
         .agg(collect_set(col("tok")).as("toks"))),
       "minhash_sig" -> (() => DedupOps.minhash(docs, 4)),
+      "mlsh_spread" -> (() => DedupOps.minhashLshBuckets(docs, 4, 2)
+        .orderBy(col("band"), col("band_sig"))),
+      "mlsh_nospread" -> (() => {
+        // docTokens without the Spread repartition (the r5 shape)
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val aggs = (0 until 4).map(i =>
+          min(md5(concat(lit(s"$i:"), col("tok")))).as(s"mh$i"))
+        val sig = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        val bandSigs = Seq(concat_ws("|", col("mh0"), col("mh1")),
+          concat_ws("|", col("mh2"), col("mh3")))
+        sig.select(col("doc_id"),
+            posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
+          .groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("band"), col("band_sig"))
+      }),
       "simhash_old" -> (() => {
         val bitCols = (0 until 64).map { b =>
           val d = b / 4 + 1
